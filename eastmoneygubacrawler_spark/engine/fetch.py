@@ -1,0 +1,51 @@
+"""Fetch stage abstraction.
+
+In the sandbox the "web" is the ``pages`` table (BASELINE.json input_hint), so
+a fetch is a join: scheduled URLs ⋈ pages on url.  The scheduled side is a
+bounded politeness batch, so Spark broadcasts it against the (100 TB-scale)
+pages scan and the join prunes to exactly the requested rows.
+
+On a real crawl the same interface is an HTTP fetch inside ``mapInPandas``
+(one Arrow batch of URLs per partition, per-host token-bucket pacing inside
+the worker — the reference's AsyncHttpClient, archive/full_text_CrawlerAsync
+.py:64-143).  That path needs network access and is a documented stub here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class FixtureFetcher:
+    """Fetch = lookup join against a pages table (html column)."""
+
+    def __init__(self, pages: DataFrame):
+        # only the columns a fetch returns; lets Catalyst prune the scan
+        self.pages = pages.select("url", "html")
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed)."""
+        return scheduled.join(self.pages, on="url", how="left")
+
+
+class HttpFetcher:
+    """Real-network fetch via mapInPandas + requests; NOT available in the
+    sandbox (no network).  Kept as the documented production seam: per-host
+    partitions (salted_repartition) each run a token-bucket-paced session,
+    matching the reference's politeness knobs (delay, QPS, per-host
+    concurrency — BASELINE.md)."""
+
+    def __init__(self, politeness: DataFrame | None = None, timeout_s: float = 10.0):
+        self.politeness = politeness
+        self.timeout_s = timeout_s
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "network fetch is stubbed in the sandbox; use FixtureFetcher"
+        )
+
+
+def with_fetch_lineage(fetched: DataFrame) -> DataFrame:
+    """Tag each fetched row with its executing partition for crawl_log."""
+    return fetched.withColumn("partition_id", F.spark_partition_id())

@@ -278,7 +278,9 @@ def build_corpus(cfg: FixtureConfig) -> dict:
             if cfg.adversarial and si == 0 and ctype == "notice":
                 count = 0  # 没有相关数据 → probe yields 0 pages, type skipped
             if cfg.adversarial and si == 0 and ctype == "news":
-                count = 4 * PAGE_SIZE  # 4 pages → duplicate-tail J4 horizon
+                # 6 pages; pages ≥3 repeat page-1 items ⇒ streak fires at
+                # page 4, pages 5-6 must be cancelled (J4 horizon)
+                count = 6 * PAGE_SIZE
             if cfg.adversarial and si == 1 and ctype == "report":
                 count = 2 * PAGE_SIZE  # 2 pages → empty last page
             if cfg.adversarial and si == 2 and ctype == "notice":
