@@ -1,0 +1,93 @@
+"""Seen-set: exact anti-join + bloom shards (no false negatives, bounded fp)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eastmoneygubacrawler_spark.operators.seen import (
+    _bloom_params,
+    _bloom_positions,
+    bloom_maybe_seen,
+    build_bloom_shards,
+    filter_unseen,
+    filter_unseen_with_bloom,
+    with_shard,
+)
+
+
+def _urls_df(spark, urls):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame([(u,) for u in urls], ["url"]).withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+
+
+def test_exact_anti_join(spark):
+    seen = _urls_df(spark, [f"https://x.com/{i}" for i in range(100)])
+    cands = _urls_df(spark, [f"https://x.com/{i}" for i in range(50, 150)])
+    new = filter_unseen(cands, seen)
+    got = sorted(r.url for r in new.collect())
+    assert got == sorted(f"https://x.com/{i}" for i in range(100, 150))
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    n_shards = 8
+    seen_urls = [f"https://seen.com/page/{i}" for i in range(5000)]
+    seen = _urls_df(spark, seen_urls)
+    shards = build_bloom_shards(seen, n_shards, keys_per_shard=1000, fpp=0.01)
+    assert shards and all(len(v) == 3 for v in shards.values())
+
+    # every seen url must be maybe_seen (no false negatives)
+    flagged = bloom_maybe_seen(seen, shards, n_shards)
+    assert flagged.filter("NOT maybe_seen").count() == 0
+
+    # unseen urls: false-positive rate bounded
+    unseen = _urls_df(spark, [f"https://other.com/{i}" for i in range(5000)])
+    fp = bloom_maybe_seen(unseen, shards, n_shards).filter("maybe_seen").count()
+    assert fp / 5000 < 0.05
+
+
+def test_two_layer_filter_equals_exact(spark):
+    n_shards = 8
+    seen = _urls_df(spark, [f"https://s.com/{i}" for i in range(2000)])
+    cands = _urls_df(spark, [f"https://s.com/{i}" for i in range(1000, 3000)])
+    shards = build_bloom_shards(seen, n_shards, keys_per_shard=500)
+    via_bloom = sorted(
+        r.url for r in filter_unseen_with_bloom(cands, seen, shards, n_shards).collect()
+    )
+    via_exact = sorted(r.url for r in filter_unseen(cands, seen).collect())
+    assert via_bloom == via_exact
+
+
+def test_with_shard_is_stable_partition(spark):
+    df = with_shard(_urls_df(spark, [f"u{i}" for i in range(500)]), 16)
+    rows = df.collect()
+    assert all(0 <= r.shard < 16 for r in rows)
+    again = {r.url: r.shard for r in with_shard(_urls_df(spark, [r.url for r in rows]), 16).collect()}
+    assert all(again[r.url] == r.shard for r in rows)
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_bloom_positions_in_range(hashes):
+    m, k = _bloom_params(100, 0.01)
+    pos = _bloom_positions(np.array(hashes, dtype=np.int64), m, k)
+    assert pos.shape == (len(hashes), k)
+    assert (pos < m).all()
+
+
+def test_bloom_insert_then_contains_never_false_negative():
+    # pure-numpy property: simulate the shard build/probe path exactly
+    rng = np.random.default_rng(42)
+    hashes = rng.integers(-(2**63), 2**63 - 1, size=5000, dtype=np.int64)
+    m, k = _bloom_params(5000, 0.01)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    pos = _bloom_positions(hashes, m, k).ravel()
+    np.bitwise_or.at(bits, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
+    probe = _bloom_positions(hashes, m, k)
+    hit = np.ones(len(hashes), dtype=bool)
+    for j in range(k):
+        p = probe[:, j]
+        hit &= (bits[(p >> np.uint64(6)).astype(np.int64)] >> (p & np.uint64(63))) & np.uint64(1) == 1
+    assert hit.all()
