@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+The reference's only dedup is the exactly-once URL constraint (J1, Mongo
+unique index core/crawler.py:726-733).  A 100 TB text pipeline needs content
+dedup too; these are the standard four, each built from shuffle-conscious
+DataFrame ops:
+
+- exact:        md5(normalized text) group-by — one shuffle, map-side combine.
+- n-gram Jaccard: shingle self-join — exact but quadratic in shared shingles;
+                  the correctness baseline for the LSH path.
+- MinHash+LSH:  k min-hashes from md5(seed‖shingle) (portable across engines),
+                banded to buckets; only bucket-mates become candidate pairs,
+                verified with exact Jaccard.  At scale the band join replaces
+                the quadratic shingle join: candidates ∝ true-dup density.
+- SimHash:      32-bit sign-of-sum fingerprint (one md5 per token, bit j =
+                high bit of hex digit j — portable to any engine with md5);
+                near-dups via 4×8-bit band pigeonhole (hamming ≤ 3 ⇒ some
+                band equal) then exact hamming verify.
+
+All hashes are md5-derived so the DuckDB oracle can reproduce them bit-for-bit
+(Spark xxhash64/hash are engine-private; md5 is universal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + shingling
+
+
+def norm_text(col):
+    """lowercase + collapse whitespace — shared by every dedup op."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct content, with the
+    representative (min id) and the duplicate count."""
+    return (
+        docs.select(F.col(id_col), F.md5(norm_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = F.split(norm_text(F.col(text_col)), " ")
+    # shingle i = tokens[i..i+n-1] joined by space, for i in 0..len-n;
+    # docs shorter than n yield the whole doc as a single shingle
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard ≥ threshold (exact)."""
+    sh = word_shingles(docs, n, text_col, id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}) — min over shingles of md5(i ‖ shingle).
+
+    One shuffle (groupBy doc) with k map-side-combining min aggregates; the
+    md5-of-seeded-string construction is reproducible in any SQL engine.
+    """
+    sh = word_shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash, verified with exact Jaccard.
+
+    rows-per-band r = k/bands; bucket key = md5 of the band's signature
+    concat.  Candidate pairs = docs sharing ≥1 bucket; the expensive exact
+    Jaccard runs only on candidates (the 100 TB path: candidates scale with
+    dup density, not corpus²).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, k, n, text_col, id_col)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    candidates = (
+        a.join(b_, on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on the candidate set only
+    sh = word_shingles(docs, n, text_col, id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    shared = (
+        candidates.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash: bit j set iff Σ_tokens (±1 by md5-hex-digit-j high bit) > 0.
+
+    Portable construction: md5(token) hex digit j ≥ '8' contributes +1 to bit
+    j else −1 (exactly reproducible in DuckDB for the oracle).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring(F.col("h"), j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(32)
+        ]
+    )
+    fp = None
+    for j in range(32):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(1 << j).cast("long")
+        fp = term if fp is None else fp + term
+    return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming via 4×8-bit band pigeonhole."""
+    fp = simhash32(docs, text_col, id_col).cache()
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("key"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(b_, on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine ≥ threshold); see similarity.py for top-k search
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

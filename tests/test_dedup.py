@@ -1,0 +1,103 @@
+"""Dedup operators over the driver-provided documents table + synthetic dups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eastmoneygubacrawler_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_near_dups,
+    word_shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """documents + planted exact/near duplicates with known ids."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 20).collect()
+    extra = []
+    for r in base[:5]:
+        extra.append((10_000 + r.doc_id, r.text))  # exact dup
+    for r in base[5:10]:
+        words = r.text.split()
+        words[0] = "zzz"  # near dup: one word changed
+        extra.append((20_000 + r.doc_id, " ".join(words)))
+    return docs.unionByName(spark.createDataFrame(extra, ["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    groups = exact_dedup(docs_with_dups)
+    dups = {r.rep_id: r.dup_count for r in groups.filter("dup_count > 1").collect()}
+    assert set(dups) == {0, 1, 2, 3, 4}
+    assert all(v == 2 for v in dups.values())
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x y")], ["doc_id", "text"])
+    got = {(r.doc_id, r.shingle) for r in word_shingles(df, n=3).collect()}
+    assert got == {(1, "a b c"), (1, "b c d"), (2, "x y")}  # short doc → whole doc
+
+
+def test_ngram_jaccard_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for orig in range(5, 10):
+        assert (orig, 20_000 + orig) in got
+    for orig in range(5):
+        assert (orig, 10_000 + orig) in got  # exact dups have jaccard 1.0
+
+
+def test_minhash_lsh_matches_exact_on_high_threshold(spark, docs_with_dups):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs_with_dups, n=3, threshold=0.7).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs_with_dups, k=16, bands=8, n=3, threshold=0.7
+        ).collect()
+    }
+    # LSH never invents pairs (verify step is exact) …
+    assert lsh <= exact
+    # … and recalls the high-similarity ones (banding prob at j=0.7, r=2: high)
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_minhash_signature_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "the same exact text here"), (2, "the same exact text here"),
+         (3, "completely different words entirely")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(df, k=8).collect()
+    by_id = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+
+
+def test_simhash_near_dups(spark, docs_with_dups):
+    fps = {r.doc_id: r.simhash for r in simhash32(docs_with_dups).collect()}
+    # exact dup → identical fingerprint
+    for orig in range(5):
+        assert fps[orig] == fps[10_000 + orig]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs_with_dups, 3).collect()}
+    for orig in range(5):
+        assert pairs.get((orig, 10_000 + orig)) == 0
+
+
+def test_embedding_near_dups(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 90_000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(planted)
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(both, 0.999).collect()}
+    assert {(0, 90_000), (1, 90_001), (2, 90_002)} <= pairs
