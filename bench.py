@@ -1,0 +1,152 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners: the fixture crawl round (frontier throughput — the BASELINE.json
+metric) plus the heaviest operator families (dedup exact/minhash-LSH, text
+quality, ANN top-k, TPC-H q1/q3, year-inference window).
+
+Scaling study (N vs 4N cores per the north rule) is a separate entry point:
+  python bench.py --scaling       # writes BENCH/BASELINE.md
+because it needs two SparkSessions with different masters.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_crawl_bench(spark, n_stocks: int = 10) -> dict:
+    """One full crawl round over a scaled fixture corpus; returns metrics."""
+    import tempfile
+
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    corpus = build_corpus(
+        FixtureConfig(n_stocks=n_stocks, max_count=400, adversarial=False)
+    )
+    pages = spark.createDataFrame(corpus["pages"], PAGES).repartition(CPUS).cache()
+    pages.count()  # materialize outside the timed window
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="egs_bench_"))
+    cfg = CrawlConfig(n_shards=32, fetch_partitions=CPUS, use_bloom=False)
+    return run_crawl(spark, store, pages, seeds, robots, None, cfg)
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        timings[name] = round(time.time() - t, 3)
+
+    qs = E.queries()
+    for name in [
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality",
+        "ann_topk_brute",
+        "ann_topk_lsh",
+        "tpch_q1",
+        "tpch_q3",
+        "x9_year_infer",
+        "j4_horizon",
+        "o_crawl_rank",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    crawl_metrics = {}
+    t = time.time()
+    crawl_metrics = run_crawl_bench(spark)
+    timings["crawl_round"] = round(time.time() - t, 3)
+    timings["crawl_urls_per_s"] = round(crawl_metrics["throughput_urls_per_s"], 1)
+    timings["crawl_urls_fetched"] = crawl_metrics["urls_fetched"]
+    return timings
+
+
+def main_bench() -> None:
+    from eastmoneygubacrawler_spark.session import get_spark
+
+    spark = get_spark("egs-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    timings = bench_queries(spark)
+    total = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_scaling(cores_lo: int = 8, cores_hi: int = 32, n_stocks: int = 10) -> None:
+    """North-rule scaling evidence: same crawl job at N and 4N cores."""
+    from eastmoneygubacrawler_spark.session import get_spark
+
+    results = {}
+    for cores in (cores_lo, cores_hi):
+        spark = get_spark(
+            f"egs-scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        run_crawl_bench(spark, n_stocks=2)  # JIT/parquet warmup, untimed
+        m = run_crawl_bench(spark, n_stocks=n_stocks)
+        results[cores] = m
+        spark.stop()
+        time.sleep(2)
+
+    lo, hi = results[cores_lo], results[cores_hi]
+    eff = hi["throughput_urls_per_s"] / (
+        (cores_hi / cores_lo) * lo["throughput_urls_per_s"]
+    )
+    out = {
+        "cores_lo": cores_lo,
+        "cores_hi": cores_hi,
+        "thpt_lo_urls_per_s": round(lo["throughput_urls_per_s"], 1),
+        "thpt_hi_urls_per_s": round(hi["throughput_urls_per_s"], 1),
+        "wall_lo_s": round(lo["wall_s"], 2),
+        "wall_hi_s": round(hi["wall_s"], 2),
+        "urls_fetched": hi["urls_fetched"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling_last.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -273,19 +273,26 @@ def run_crawl(
             new_items_final = FR.prune_beyond_horizon(new_items_final, horizons)
 
         # ---- project new posts rows (F9) + canonical crawl_seq -------------
+        # crawl_seq continues across rounds (insertion order, like Mongo _id
+        # order under the reference's sequential loop); two-phase distributed
+        # rank — no single-partition global window at 10^10 scale
+        from ..operators.order import global_row_number
+
         prev_count = posts_prev.count() if posts_prev is not None else 0
-        w_order = Window.orderBy("host_rank", "type_rank", "page", "item_seq")
         posts_new = (
             new_items_final.withColumn(
                 "url", U.post_url(F.col("stock_code"), F.col("url_id"), F.col("art_url"))
             )
             .withColumn("summary", F.col("title"))  # core/crawler.py:615
             .withColumn("source", F.lit("official"))
-            .withColumn(
-                "crawl_seq",
-                F.row_number().over(w_order).cast("long") + F.lit(prev_count),
-            )
             .withColumn("round", F.lit(round_id))
+        )
+        posts_new = global_row_number(
+            posts_new,
+            ["host_rank", "type_rank", "page", "item_seq"],
+            out_col="crawl_seq",
+            start=prev_count + 1,
+            n_partitions=cfg.fetch_partitions,
         )
 
     posts_new = posts_new.cache()

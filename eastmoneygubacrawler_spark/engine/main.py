@@ -1,0 +1,65 @@
+"""spark-submit entry point for cluster runs.
+
+Packaging (north rule: "run via spark-submit --py-files on a multi-executor
+cluster"):
+
+    cd /root/repo && zip -qr /tmp/egs.zip eastmoneygubacrawler_spark
+    spark-submit --master <cluster> \
+        --py-files /tmp/egs.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.execution.arrow.pyspark.enabled=true \
+        eastmoneygubacrawler_spark/engine/main.py \
+        --pages s3://bucket/pages --seeds s3://bucket/seeds \
+        --store s3://bucket/crawl_state --rounds 3
+
+The job is master-agnostic: everything below is plain DataFrame code; the
+store commits atomically per round, so a pre-empted executor or a killed
+driver resumes from the last committed round on the next invocation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="parquet path: pages table")
+    ap.add_argument("--seeds", required=True, help="parquet path: seeds table")
+    ap.add_argument("--robots", default=None, help="parquet path: robots table")
+    ap.add_argument("--politeness", default=None)
+    ap.add_argument("--store", required=True, help="snapshot store root")
+    ap.add_argument("--rounds", type=int, default=1)
+    ap.add_argument("--budget-per-host", type=int, default=1_000_000_000)
+    ap.add_argument("--n-shards", type=int, default=256)
+    ap.add_argument("--n-salts", type=int, default=64)
+    ap.add_argument("--fetch-partitions", type=int, default=0, help="0 = defaultParallelism")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from .crawl import CrawlConfig, run_crawl
+    from ..storage.backend import SnapshotStore
+
+    spark = SparkSession.builder.appName("egs-crawl").getOrCreate()
+    fetch_parts = args.fetch_partitions or spark.sparkContext.defaultParallelism
+    cfg = CrawlConfig(
+        n_shards=args.n_shards,
+        n_salts=args.n_salts,
+        fetch_partitions=fetch_parts,
+        budget_per_host=args.budget_per_host,
+    )
+    store = SnapshotStore(args.store)
+    pages = spark.read.parquet(args.pages)
+    seeds = spark.read.parquet(args.seeds)
+    robots = spark.read.parquet(args.robots) if args.robots else None
+    politeness = spark.read.parquet(args.politeness) if args.politeness else None
+
+    for _ in range(args.rounds):
+        metrics = run_crawl(spark, store, pages, seeds, robots, politeness, cfg)
+        print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""Distributed global row_number == single-window row_number."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eastmoneygubacrawler_spark.operators.order import global_row_number
+
+
+def test_global_row_number_matches_window(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 1000).alias("k1"),
+        (F.col("id") % 7).alias("k2"),
+        F.col("id"),
+    )
+    dist = global_row_number(df, ["k1", "k2", "id"], out_col="seq", n_partitions=16)
+    w = Window.orderBy("k1", "k2", "id")
+    ref = df.withColumn("seq", F.row_number().over(w).cast("long"))
+    got = {(r.id): r.seq for r in dist.collect()}
+    exp = {(r.id): r.seq for r in ref.collect()}
+    assert got == exp
+
+
+def test_global_row_number_start_offset(spark):
+    df = spark.range(0, 100)
+    out = global_row_number(df, ["id"], out_col="seq", start=501, n_partitions=8)
+    rows = sorted((r.id, r.seq) for r in out.collect())
+    assert rows[0] == (0, 501) and rows[-1] == (99, 600)
