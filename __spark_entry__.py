@@ -212,6 +212,21 @@ def q_a1_round_stats(spark, sf):
     )
 
 
+def q_p6_capacity(spark, sf):
+    """Host capacity scoring (proxy-pool analog, core/proxy_manager.py:227-244):
+    events stand in for fetch outcomes, user_id for host."""
+    from eastmoneygubacrawler_spark.operators.capacity import (
+        merge_capacity,
+        round_host_scores,
+    )
+
+    e = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("host"),
+        (F.col("value") > 0.5).alias("ok"),
+    )
+    return merge_capacity(None, round_host_scores(e))
+
+
 def q_tpch_q1(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -380,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_top_half_pool": q_a7_top_half_pool,
         "a8_streaks": q_a8_streaks,
         "a1_round_stats": q_a1_round_stats,
+        "p6_capacity": q_p6_capacity,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "dedup_exact": q_dedup_exact,
@@ -629,6 +645,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(value AS DECIMAL(26,6))) AS DOUBLE), 4) AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "p6_capacity": """
+            WITH d AS (
+                SELECT CAST(user_id AS VARCHAR) AS host,
+                       100 + sum(CASE WHEN value > 0.5 THEN 5 ELSE -10 END) AS raw
+                FROM events GROUP BY user_id
+            )
+            SELECT host,
+                   CAST(least(greatest(raw, 0), 100) AS BIGINT) AS score,
+                   (raw < 30) AS suspended
+            FROM d
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

@@ -44,13 +44,19 @@ class CrawlConfig:
     n_shards: int = 64
     n_salts: int = 16
     fetch_partitions: int = 32
-    budget_per_host: int = 1_000_000_000  # pages per host per wave
+    budget_per_host: int = 1_000_000_000  # list pages per host per wave (P1/P3)
+    text_budget_per_host: int = 0  # depth-1 fetches per host per round (P2
+    # QPS-cap analog, archive/full_text_CrawlerAsync.py:152); 0 ⇒ budget_per_host
     duplicate_page_threshold: int = 2  # core/crawler.py:104
     max_attempts: int = 5  # core/crawler.py:496 (tenacity budget)
     apply_robots: bool = True
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     max_waves: int = 64
+    max_depth: int = 2  # 0=list only, 1=+post text, 2=+paginated comments
+    # X9 start year: the reference seeds inference with datetime.now().year
+    # (archive/main_class.py:765); fixed here for reproducibility
+    inference_start_year: int = 2026
 
 
 def _seed_ranks(seeds: DataFrame) -> DataFrame:
@@ -156,8 +162,15 @@ def run_crawl(
     )
 
     # ---- wave loop over list pages ------------------------------------------
+    # Politeness waves process each host's pages in canonical order, so within
+    # a (stock, type) pages always arrive in increasing page order across
+    # waves — first-processed occurrence == global first occurrence, which
+    # lets new-counts be computed incrementally per wave.  Every accumulator
+    # is lineage-truncated (localCheckpoint) each wave: iterative plan growth
+    # is exponential otherwise (union-of-union + window recompute).
     pending = list_frontier
-    all_items = None
+    all_items = None  # accumulated NEW items (project source)
+    round_keys = None  # item keys already counted this round
     page_stats_acc = None
     horizons = None
     list_seen_pages = probe_seen
@@ -175,7 +188,7 @@ def run_crawl(
             break
         pending = pending.join(
             batch.select("url"), on="url", how="left_anti"
-        )
+        ).localCheckpoint(eager=False)
 
         fetched = (
             fetcher.fetch(
@@ -195,6 +208,7 @@ def run_crawl(
             )
             .withColumn("stage", F.lit("list_fetch"))
             .withColumn("round", F.lit(round_id))
+            .localCheckpoint(eager=True)  # tiny; avoids refetch at commit
         )
 
         page_rows = fetched.select(
@@ -212,7 +226,7 @@ def run_crawl(
             page_rows.filter(F.col("ok")).select(
                 "stock_code", "content_type", "page", "url"
             )
-        )
+        ).localCheckpoint(eager=True)
 
         items = (
             page_rows.filter(F.col("ok"))
@@ -235,20 +249,33 @@ def run_crawl(
                 F.col("it.item_seq").alias("item_seq"),
             )
         )
-        all_items = items if all_items is None else all_items.unionByName(items)
-
-        # first-occurrence within everything seen so far this round
+        # first occurrence within THIS wave, then drop keys already counted
+        # in earlier waves or stored in previous rounds
         w_first = Window.partitionBy(*POSTS_KEY).orderBy("page", "item_seq")
-        firsts = (
-            all_items.withColumn("_rn", F.row_number().over(w_first))
+        firsts_wave = (
+            items.withColumn("_rn", F.row_number().over(w_first))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if round_keys is not None:
+            firsts_wave = firsts_wave.join(round_keys, on=POSTS_KEY, how="left_anti")
         if posts_keys_prev is not None:
-            firsts = firsts.join(posts_keys_prev, on=POSTS_KEY, how="left_anti")
-        firsts = firsts.cache()
+            firsts_wave = firsts_wave.join(posts_keys_prev, on=POSTS_KEY, how="left_anti")
+        firsts_wave = firsts_wave.localCheckpoint(eager=True)
 
-        new_counts = firsts.groupBy("stock_code", "content_type", "page").agg(
+        all_items = (
+            firsts_wave
+            if all_items is None
+            else all_items.unionByName(firsts_wave).localCheckpoint(eager=False)
+        )
+        keys_wave = firsts_wave.select(*POSTS_KEY)
+        round_keys = (
+            keys_wave
+            if round_keys is None
+            else round_keys.unionByName(keys_wave).localCheckpoint(eager=False)
+        )
+
+        new_counts = firsts_wave.groupBy("stock_code", "content_type", "page").agg(
             F.count("*").alias("new_count")
         )
         stats = (
@@ -257,18 +284,23 @@ def run_crawl(
             .withColumn("new_count", F.coalesce(F.col("new_count"), F.lit(0)))
         )
         page_stats_acc = (
-            stats if page_stats_acc is None else page_stats_acc.unionByName(stats)
-        )
+            stats
+            if page_stats_acc is None
+            else page_stats_acc.unionByName(stats)
+        ).localCheckpoint(eager=True)
         horizons = FR.duplicate_page_horizon(
             page_stats_acc, cfg.duplicate_page_threshold
         ).cache()
-        new_items_final = firsts  # refreshed each wave (cumulative)
+        batch.unpersist()
+        fetched.unpersist()
+        page_rows.unpersist()
 
     if all_items is None:
         new_items_final = None
         posts_new = spark.createDataFrame([], "stock_code string")
-    # apply the final horizon to the cumulative first-occurrence items
+    # apply the final horizon to the accumulated new items
     if all_items is not None:
+        new_items_final = all_items
         if horizons is not None:
             new_items_final = FR.prune_beyond_horizon(new_items_final, horizons)
 
@@ -298,36 +330,59 @@ def run_crawl(
     posts_new = posts_new.cache()
     n_posts_new = posts_new.count()
 
-    # ---- depth-1: full-text fetch -------------------------------------------
+    # ---- depth-1: full-text fetch (new posts + cross-round retries) ----------
+    # Reference analogs: stage-2 queue drain (archive/full_text_CrawlerAsync
+    # .py:423-445) + tenacity retry budget (R1, core/crawler.py:490-498):
+    # failed fetches persist as frontier retry rows, refetched next round
+    # while attempts < max_attempts; over-budget rows carry over as pending.
+    frontier_prev = store.load(spark, "frontier")
+    cand_cols = ["url", "host_rank", "type_rank", "page", "item_seq", "attempts"]
+    d1_cand = None
     if n_posts_new > 0:
-        post_urls = (
-            posts_new.select(
-                "url", "host_rank", "type_rank", "page", "item_seq"
-            )
-            .groupBy("url")
+        d1_cand = (
+            posts_new.groupBy("url")
             .agg(
                 F.min("host_rank").alias("host_rank"),
                 F.min("type_rank").alias("type_rank"),
                 F.min("page").alias("page"),
                 F.min("item_seq").alias("item_seq"),
             )
+            .withColumn("attempts", F.lit(0))
+            .select(*cand_cols)
         )
-        post_urls = _with_url_identity(post_urls, cfg.n_salts)
+    if frontier_prev is not None:
+        carry = frontier_prev.filter(
+            (F.col("depth") == 1)
+            & F.col("status").isin("retry", "pending")
+            & (F.col("attempts") < cfg.max_attempts)
+        ).select(*cand_cols)
+        d1_cand = carry if d1_cand is None else d1_cand.unionByName(carry)
+
+    n_text_fetched = 0
+    post_seen_urls = spark.createDataFrame([], "url string")
+    text_ok = None
+    d1_frontier_rows = None
+    if d1_cand is not None:
+        d1_cand = _with_url_identity(d1_cand, cfg.n_salts)
         if cfg.apply_robots and robots is not None:
-            post_urls = FR.robots_gate(post_urls, robots)
-        # seen gate: bloom front-filter + exact anti-join
+            d1_cand = FR.robots_gate(d1_cand, robots)
+        # seen gate: bloom front-filter + exact anti-join (previously
+        # extracted URLs never refetched)
         if seen_prev is not None:
             if cfg.use_bloom:
                 shards = SE.build_bloom_shards(
                     seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp
                 )
-                post_urls = SE.filter_unseen_with_bloom(
-                    post_urls, seen_prev, shards, cfg.n_shards
+                d1_cand = SE.filter_unseen_with_bloom(
+                    d1_cand, seen_prev, shards, cfg.n_shards
                 )
             else:
-                post_urls = SE.filter_unseen(post_urls, seen_prev)
+                d1_cand = SE.filter_unseen(d1_cand, seen_prev)
+        d1_cand = d1_cand.cache()
 
-        scheduled = FR.politeness_schedule(post_urls, cfg.budget_per_host)
+        text_budget = cfg.text_budget_per_host or cfg.budget_per_host
+        scheduled = FR.politeness_schedule(d1_cand, text_budget)
+        unscheduled = d1_cand.join(scheduled.select("url"), "url", "left_anti")
         fetched_posts = (
             fetcher.fetch(
                 scheduled.repartition(cfg.fetch_partitions, F.col("host"), F.col("salt"))
@@ -335,7 +390,8 @@ def run_crawl(
             .withColumn("partition_id", F.spark_partition_id())
             .withColumn("e", extract_text_udf(F.col("url"), F.col("html")))
             .select(
-                "url", "host", "partition_id",
+                "url", "url_hash", "host", "salt", "partition_id", "attempts",
+                "host_rank", "type_rank", "page", "item_seq",
                 F.length(F.col("html")).cast("long").alias("bytes"),
                 F.col("e.text").alias("full_text"),
                 F.col("e.post_time").alias("full_text_time"),
@@ -359,28 +415,38 @@ def run_crawl(
             F.col("extract_status").isin("ok", "fund")
         ).select("url", "full_text", "full_text_time")
         n_text_fetched = fetched_posts.count()
-
-        posts_new = (
-            posts_new.join(text_ok, on="url", how="left")
-        )
         post_seen_urls = text_ok.select("url")
-    else:
-        n_text_fetched = 0
-        post_seen_urls = spark.createDataFrame([], "url string")
-        posts_new = posts_new.withColumn("full_text", F.lit(None).cast("string")) \
-            .withColumn("full_text_time", F.lit(None).cast("string")) if n_posts_new else posts_new
+
+        # frontier rows: failures get attempts+1 (retry→failed at budget),
+        # over-politeness-budget rows stay pending
+        fails = fetched_posts.filter(
+            ~F.col("extract_status").isin("ok", "fund")
+        ).select(
+            "url", "url_hash", "host", "salt",
+            "host_rank", "type_rank", "page", "item_seq",
+            (F.col("attempts") + 1).alias("attempts"),
+        ).withColumn(
+            "status",
+            F.when(F.col("attempts") >= cfg.max_attempts, F.lit("failed")).otherwise(
+                F.lit("retry")
+            ),
+        )
+        pend = unscheduled.select(
+            "url", "url_hash", "host", "salt",
+            "host_rank", "type_rank", "page", "item_seq", "attempts",
+        ).withColumn("status", F.lit("pending"))
+        d1_frontier_rows = fails.unionByName(pend)
 
     # ---- assemble final tables ----------------------------------------------
     from ..schema import POSTS
 
     posts_cols = [f.name for f in POSTS.fields]
+    cast_types = {f.name: f.dataType for f in POSTS.fields}
     if n_posts_new > 0:
-        posts_out = posts_new.select(
-            *[
-                F.col(c).cast(dict((f.name, f.dataType) for f in POSTS.fields)[c])
-                .alias(c)
-                for c in posts_cols
-            ]
+        posts_out = (
+            posts_new.withColumn("full_text", F.lit(None).cast("string"))
+            .withColumn("full_text_time", F.lit(None).cast("string"))
+            .select(*[F.col(c).cast(cast_types[c]).alias(c) for c in posts_cols])
         )
         posts_final = (
             posts_prev.unionByName(posts_out) if posts_prev is not None else posts_out
@@ -388,10 +454,191 @@ def run_crawl(
     else:
         posts_final = posts_prev if posts_prev is not None else spark.createDataFrame([], POSTS)
 
+    # MERGE extracted text into posts (S6 analog: Mongo upsert by href,
+    # archive/full_text_CrawlerAsync.py:409-413); existing text never
+    # overwritten because extracted URLs are seen-gated out of refetch
+    if text_ok is not None:
+        upd = text_ok.select(
+            "url",
+            F.col("full_text").alias("_new_text"),
+            F.col("full_text_time").alias("_new_time"),
+        )
+        posts_final = (
+            posts_final.join(upd, on="url", how="left")
+            .withColumn("full_text", F.coalesce(F.col("full_text"), F.col("_new_text")))
+            .withColumn(
+                "full_text_time", F.coalesce(F.col("full_text_time"), F.col("_new_time"))
+            )
+            .drop("_new_text", "_new_time")
+            .select(*posts_cols)
+        )
+
+    # ---- depth-2: paginated comments (engine-defined contract) ---------------
+    # Reference analog: the 3-stage pipeline's missing stage 3
+    # (archive/main_controller.py:18 imports an absent module); pagination
+    # generalizes X3, reply times are year-less → X9 inference in-pipeline.
+    from ..schema import COMMENTS
+
+    comments_prev = store.load(spark, "comments")
+    comments_final = comments_prev
+    comment_seen_urls = spark.createDataFrame([], "url string")
+    d2_frontier_rows = None
+    n_comment_fetched = 0
+    if cfg.max_depth >= 2:
+        c_cols = [
+            "url", "stock_code", "content_type", "post_url_id", "page",
+            "host_rank", "type_rank", "item_seq", "attempts",
+        ]
+        d2_cand = None
+        if n_posts_new > 0:
+            d2_cand = (
+                posts_new.filter(F.col("comment_count") > 0)
+                .select(
+                    "stock_code", "content_type",
+                    F.col("url_id").alias("post_url_id"),
+                    "comment_count", "host_rank", "type_rank", "item_seq",
+                )
+                .withColumn("n_cpages", U.comment_total_pages(F.col("comment_count")))
+                .withColumn("page", F.explode(F.sequence(F.lit(1), F.col("n_cpages"))))
+                .withColumn(
+                    "url",
+                    U.comment_page_url(
+                        F.col("stock_code"), F.col("post_url_id"), F.col("page")
+                    ),
+                )
+                .withColumn("attempts", F.lit(0))
+                .select(*c_cols)
+            )
+        if frontier_prev is not None:
+            carry2 = frontier_prev.filter(
+                (F.col("depth") == 2)
+                & F.col("status").isin("retry", "pending")
+                & (F.col("attempts") < cfg.max_attempts)
+            ).select(*c_cols)
+            d2_cand = carry2 if d2_cand is None else d2_cand.unionByName(carry2)
+
+        if d2_cand is not None:
+            d2_cand = _with_url_identity(d2_cand, cfg.n_salts)
+            if cfg.apply_robots and robots is not None:
+                d2_cand = FR.robots_gate(d2_cand, robots)
+            if seen_prev is not None:
+                d2_cand = SE.filter_unseen(d2_cand, seen_prev)
+            d2_cand = d2_cand.cache()
+            text_budget = cfg.text_budget_per_host or cfg.budget_per_host
+            c_sched = FR.politeness_schedule(d2_cand, text_budget)
+            c_unsched = d2_cand.join(c_sched.select("url"), "url", "left_anti")
+
+            from ..functions.extract import parse_reply_page_udf
+
+            fetched_c = (
+                fetcher.fetch(
+                    c_sched.repartition(
+                        cfg.fetch_partitions, F.col("host"), F.col("salt")
+                    )
+                )
+                .withColumn("partition_id", F.spark_partition_id())
+                .withColumn("p", parse_reply_page_udf(F.col("html")))
+                .select(
+                    *c_cols, "url_hash", "host", "salt", "partition_id",
+                    F.length(F.col("html")).cast("long").alias("bytes"),
+                    F.col("p.items").alias("items"),
+                    (F.col("html").isNotNull() & (F.col("p.status") == "ok")).alias("ok"),
+                )
+                .cache()
+            )
+            n_comment_fetched = fetched_c.count()
+            lineage_frames.append(
+                fetched_c.groupBy("partition_id", "host")
+                .agg(
+                    F.count("*").alias("fetched"),
+                    F.sum(F.size(F.coalesce(F.col("items"), F.array()))).alias("new_urls"),
+                    F.sum("bytes").alias("bytes"),
+                )
+                .withColumn("stage", F.lit("comment_fetch"))
+                .withColumn("round", F.lit(round_id))
+                .localCheckpoint(eager=True)
+            )
+            comment_seen_urls = fetched_c.filter(F.col("ok")).select("url")
+
+            replies_new = (
+                fetched_c.filter(F.col("ok"))
+                .select(
+                    "stock_code", "content_type", "post_url_id", "page",
+                    F.explode(F.coalesce(F.col("items"), F.array())).alias("r"),
+                )
+                .select(
+                    "stock_code", "content_type", "post_url_id", "page",
+                    F.col("r.reply_id").alias("reply_id"),
+                    F.col("r.reply_user").alias("reply_user"),
+                    F.col("r.reply_text").alias("reply_text"),
+                    F.col("r.reply_time").alias("reply_time_raw"),
+                    F.col("r.item_seq").alias("item_seq"),
+                )
+                .withColumn("_is_new", F.lit(True))
+            )
+            # X9 year inference per post over (page, item_seq); previous
+            # rounds' replies are included so the window state is complete
+            # when a retried page lands later than its siblings
+            from ..operators.year_infer import infer_year
+
+            if comments_prev is not None:
+                prev_raw = comments_prev.select(
+                    "stock_code", "content_type", "post_url_id", "page",
+                    "reply_id", "reply_user", "reply_text", "reply_time_raw",
+                    "item_seq",
+                ).withColumn("_is_new", F.lit(False))
+                all_rep = replies_new.unionByName(prev_raw)
+            else:
+                all_rep = replies_new
+            inferred = infer_year(
+                all_rep,
+                raw_col="reply_time_raw",
+                partition_cols=["stock_code", "content_type", "post_url_id"],
+                order_cols=["page", "item_seq"],
+                start_year=cfg.inference_start_year,
+                out_col="reply_time",
+            )
+            new_comments = (
+                inferred.filter(F.col("_is_new"))
+                .drop("_is_new")
+                .withColumn("round", F.lit(round_id))
+                .select(*[f.name for f in COMMENTS.fields])
+            )
+            if comments_prev is not None:
+                new_comments = new_comments.join(
+                    comments_prev.select(
+                        "stock_code", "content_type", "post_url_id", "reply_id"
+                    ),
+                    on=["stock_code", "content_type", "post_url_id", "reply_id"],
+                    how="left_anti",
+                )
+                comments_final = comments_prev.unionByName(new_comments)
+            else:
+                comments_final = new_comments
+
+            c_fails = fetched_c.filter(~F.col("ok")).select(
+                "url", "url_hash", "host", "salt", "stock_code", "content_type",
+                "post_url_id", "page", "host_rank", "type_rank", "item_seq",
+                (F.col("attempts") + 1).alias("attempts"),
+            ).withColumn(
+                "status",
+                F.when(F.col("attempts") >= cfg.max_attempts, F.lit("failed"))
+                .otherwise(F.lit("retry")),
+            )
+            c_pend = c_unsched.select(
+                "url", "url_hash", "host", "salt", "stock_code", "content_type",
+                "post_url_id", "page", "host_rank", "type_rank", "item_seq",
+                "attempts",
+            ).withColumn("status", F.lit("pending"))
+            d2_frontier_rows = c_fails.unionByName(c_pend)
+    if comments_final is None:
+        comments_final = spark.createDataFrame([], COMMENTS)
+
     if horizons is not None:
         list_seen_pages = FR.prune_beyond_horizon(list_seen_pages, horizons)
     seen_new = (
         list_seen_pages.select("url").unionByName(post_seen_urls)
+        .unionByName(comment_seen_urls)
         .distinct()
         .withColumn("url", U.canonicalize_url(F.col("url")))
         .withColumn("url_hash", U.url_hash(F.col("url")))
@@ -425,15 +672,59 @@ def run_crawl(
 
         crawl_log = spark.createDataFrame([], CRAWL_LOG)
 
-    # frontier final state (for resume/lineage inspection)
+    # frontier final state: depth-0 list pages (this round) + depth-1 retry/
+    # pending/failed rows (cross-round state)
     frontier_out = list_frontier.select(
         "url", "url_hash", "host", "salt",
         F.lit(0).alias("depth"), "stock_code", "content_type", "page",
+        F.lit(None).cast("string").alias("post_url_id"),
         "host_rank", "type_rank", "item_seq",
         F.lit("fetched").alias("status"), F.lit(1).alias("attempts"),
         F.lit(round_id).alias("round"),
         F.col("expected_count").cast("long").alias("expected_count"),
     )
+    if d1_frontier_rows is not None:
+        d1_out = d1_frontier_rows.select(
+            "url", "url_hash", "host", "salt",
+            F.lit(1).alias("depth"),
+            F.lit(None).cast("string").alias("stock_code"),
+            F.lit(None).cast("string").alias("content_type"),
+            F.col("page").cast("int").alias("page"),
+            F.lit(None).cast("string").alias("post_url_id"),
+            F.col("host_rank").cast("long").alias("host_rank"),
+            F.col("type_rank").cast("int").alias("type_rank"),
+            F.col("item_seq").cast("int").alias("item_seq"),
+            "status",
+            F.col("attempts").cast("int").alias("attempts"),
+            F.lit(round_id).alias("round"),
+            F.lit(None).cast("long").alias("expected_count"),
+        )
+        frontier_out = frontier_out.unionByName(d1_out)
+    if d2_frontier_rows is not None:
+        d2_out = d2_frontier_rows.select(
+            "url", "url_hash", "host", "salt",
+            F.lit(2).alias("depth"), "stock_code", "content_type",
+            F.col("page").cast("int").alias("page"),
+            "post_url_id",
+            F.col("host_rank").cast("long").alias("host_rank"),
+            F.col("type_rank").cast("int").alias("type_rank"),
+            F.col("item_seq").cast("int").alias("item_seq"),
+            "status",
+            F.col("attempts").cast("int").alias("attempts"),
+            F.lit(round_id).alias("round"),
+            F.lit(None).cast("long").alias("expected_count"),
+        )
+        frontier_out = frontier_out.unionByName(d2_out)
+    if frontier_prev is not None:
+        # permanently-failed rows persist (never retried again)
+        failed_carry = frontier_prev.filter(
+            (F.col("depth") >= 1)
+            & (
+                (F.col("status") == "failed")
+                | ((F.col("status") == "retry") & (F.col("attempts") >= cfg.max_attempts))
+            )
+        ).select(*[f.name for f in frontier_out.schema.fields])
+        frontier_out = frontier_out.unionByName(failed_carry)
 
     store.commit(
         round_id,
@@ -442,11 +733,14 @@ def run_crawl(
             "seen": seen_final,
             "crawl_log": crawl_log,
             "frontier": frontier_out,
+            "comments": comments_final,
         },
     )
 
     wall_s = time.time() - t0
-    urls_fetched = list_fetched_rows + n_text_fetched + probe_res.count()
+    urls_fetched = (
+        list_fetched_rows + n_text_fetched + n_comment_fetched + probe_res.count()
+    )
     return {
         "round": round_id,
         "waves": waves,

@@ -41,6 +41,43 @@ _NOTICE_TYPES = ["年报", "季报", "停牌", "复牌", "分红"]
 GUBA_HOST = "guba.eastmoney.com"
 CAIFUHAO_HOST = "caifuhao.eastmoney.com"
 
+COMMENT_PAGE_SIZE = 30  # engine-defined (FIXTURES.md §1.4)
+
+
+def comment_url(stock: str, post_id: str, page: int) -> str:
+    return f"https://{GUBA_HOST}/replylist,{stock},{post_id}_{page}.html"
+
+
+def comment_page_html(count: int, replies: list[dict]) -> str:
+    payload = json.dumps({"count": count, "re": replies}, ensure_ascii=False)
+    return (
+        "<html><head><script>var reply_list = "
+        + payload
+        + ";</script></head><body><div class='replylist'>replylist</div></body></html>"
+    )
+
+
+def make_replies(post_id: str, count: int, base_year: int) -> list[dict]:
+    """Deterministic replies for a post; year-less times walking back 20 days
+    per reply (crosses year boundaries → exercises X9 inference).  Returns
+    dicts with both the raw page fields and the expected inferred time."""
+    rng = random.Random(f"comments|{post_id}")
+    t = dt.datetime(base_year, 1, 15, 10, 0) - dt.timedelta(hours=rng.randint(0, 72))
+    out = []
+    for j in range(count):
+        raw = t.strftime("%m-%d %H:%M")
+        out.append(
+            {
+                "reply_id": f"{post_id}r{j:04d}",
+                "reply_user": f"用户{rng.randint(1, 9999)}",
+                "reply_text": _sentence(rng, 3, 12),
+                "reply_time": raw,
+                "expected_time": f"{t.year}-{raw}",
+            }
+        )
+        t -= dt.timedelta(days=20, hours=rng.randint(0, 10))
+    return out
+
 
 @dataclass
 class FixtureConfig:
@@ -205,7 +242,8 @@ def _make_items(rng, stock, ctype, count, base_ts, cfg, robots_denied):
             "post_title": _sentence(rng, 3, 8),
             "Art_Url": art_url,
             "post_click_count": rng.randint(0, 99999),
-            "post_comment_count": rng.randint(0, 999),
+            # ~30% of posts carry comments (≤3 reply pages at 30/page)
+            "post_comment_count": rng.randint(1, 90) if rng.random() < 0.3 else 0,
             "post_publish_time": ts.strftime("%Y-%m-%d %H:%M:%S"),
             "user_nickname": rng.choice(_NICKS),
         }
@@ -266,6 +304,7 @@ def build_corpus(cfg: FixtureConfig) -> dict:
     posts_seen_urls = set()
 
     expected_extract: dict[str, dict] = {}
+    expected_comments: dict[tuple, list] = {}
 
     ctypes = ["news", "report", "notice"]
     for si, stock in enumerate(stocks):
@@ -360,6 +399,31 @@ def build_corpus(cfg: FixtureConfig) -> dict:
                     row, exp = _post_page_row(rng, url, it, warc0, cfg)
                     pages_rows.append(row)
                     expected_extract[url] = exp
+                    # depth-2: paginated comment pages (engine-defined)
+                    cc = it["post_comment_count"]
+                    if cc > 0:
+                        replies = make_replies(it["post_id"], cc, cfg.base_year)
+                        expected_comments[(stock, ctype, it["post_id"])] = replies
+                        n_cpages = -(-cc // COMMENT_PAGE_SIZE)
+                        for cp in range(1, n_cpages + 1):
+                            chunk = replies[
+                                (cp - 1) * COMMENT_PAGE_SIZE : cp * COMMENT_PAGE_SIZE
+                            ]
+                            page_payload = [
+                                {k: v for k, v in r.items() if k != "expected_time"}
+                                for r in chunk
+                            ]
+                            pages_rows.append(
+                                {
+                                    "url": comment_url(stock, it["post_id"], cp),
+                                    "warc_ts": warc0,
+                                    "html": comment_page_html(cc, page_payload).encode(
+                                        "utf-8"
+                                    ),
+                                    "text": None,
+                                    "lang": "zh",
+                                }
+                            )
 
     robots = [
         {
@@ -382,6 +446,7 @@ def build_corpus(cfg: FixtureConfig) -> dict:
         "robots_denied": robots_denied,
         "stocks": stocks,
         "expected_extract": expected_extract,
+        "expected_comments": expected_comments,
     }
 
 

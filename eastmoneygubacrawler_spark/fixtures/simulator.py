@@ -179,9 +179,45 @@ def simulate_reference_crawl(
         post["full_text"] = exp["text"]
         post["full_text_time"] = exp["time"]
 
+    # --- stage 3: paginated comments (engine-defined; FIXTURES.md §1.4) ------
+    from .generator import COMMENT_PAGE_SIZE, comment_url
+
+    expected_comments = corpus.get("expected_comments", {})
+    comments: list[dict] = []
+    for post in posts:
+        cc = post["comment_count"]
+        if cc <= 0:
+            continue
+        key = (post["stock_code"], post["content_type"], post["url_id"])
+        replies = expected_comments.get(key)
+        if replies is None:
+            continue
+        n_cpages = -(-cc // COMMENT_PAGE_SIZE)
+        for cp in range(1, n_cpages + 1):
+            u = comment_url(post["stock_code"], post["url_id"], cp)
+            fetch_order.append(u)
+            seen_urls.add(u)
+            chunk = replies[(cp - 1) * COMMENT_PAGE_SIZE : cp * COMMENT_PAGE_SIZE]
+            for seq, r in enumerate(chunk):
+                comments.append(
+                    {
+                        "stock_code": post["stock_code"],
+                        "content_type": post["content_type"],
+                        "post_url_id": post["url_id"],
+                        "reply_id": r["reply_id"],
+                        "reply_user": r["reply_user"],
+                        "reply_text": r["reply_text"],
+                        "reply_time_raw": r["reply_time"],
+                        "reply_time": r["expected_time"],
+                        "page": cp,
+                        "item_seq": seq,
+                    }
+                )
+
     return {
         "posts": posts,
         "seen_urls": seen_urls,
         "fetch_order": fetch_order,
         "skipped_types": skipped,
+        "comments": comments,
     }

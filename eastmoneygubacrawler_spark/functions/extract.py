@@ -263,6 +263,46 @@ def extract_text_py(url: str, html) -> tuple:
 
 
 # ---------------------------------------------------------------------------
+# Reply-page parser (depth-2; engine-defined contract, FIXTURES.md §1.4 —
+# same script-JSON shape as list pages, key ``var reply_list``)
+
+
+def parse_reply_page_py(html) -> dict:
+    text = _decode(html)
+    if "验证" in text or "captcha" in text.lower():
+        return {"count": None, "items": None, "status": "captcha"}
+    root = parse_html(text)
+    data = None
+    for script in root.find_all("script"):
+        s = script.string
+        if s and "var reply_list" in s:
+            start = s.find("{")
+            if start != -1:
+                try:
+                    data, _ = json.JSONDecoder().raw_decode(s[start:])
+                    break
+                except Exception:
+                    continue
+    if not data or "re" not in data:
+        return {"count": None, "items": None, "status": "no_json"}
+    items = []
+    for seq, it in enumerate(data["re"] or []):
+        rid = it.get("reply_id")
+        if not rid:
+            continue
+        items.append(
+            {
+                "reply_id": str(rid),
+                "reply_user": it.get("reply_user"),
+                "reply_text": it.get("reply_text"),
+                "reply_time": it.get("reply_time"),
+                "item_seq": seq,
+            }
+        )
+    return {"count": int(data.get("count", 0)), "items": items, "status": "ok"}
+
+
+# ---------------------------------------------------------------------------
 # Generic vectorized link extraction
 
 
@@ -306,3 +346,15 @@ def extract_text_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
 @F.pandas_udf(ArrayType(StringType()))
 def extract_links_udf(html: pd.Series) -> pd.Series:
     return pd.Series([extract_links_py(h) for h in html])
+
+
+def _reply_parse_result_type():
+    from ..schema import REPLY_PARSE_RESULT
+
+    return REPLY_PARSE_RESULT
+
+
+@F.pandas_udf(_reply_parse_result_type())
+def parse_reply_page_udf(html: pd.Series) -> pd.DataFrame:
+    rows = [parse_reply_page_py(h) for h in html]
+    return pd.DataFrame(rows, columns=["count", "items", "status"])

@@ -111,6 +111,22 @@ def type_rank(content_type: Column) -> Column:
     )
 
 
+COMMENT_PAGE_SIZE = 30  # engine-defined depth-2 contract (FIXTURES.md §1.4)
+
+
+def comment_page_url(stock_code: Column, post_url_id: Column, page: Column) -> Column:
+    """Depth-2 reply-list URL (engine-defined; the reference's comment module
+    is absent from its repo — archive/main_controller.py:18)."""
+    return F.format_string(
+        "https://guba.eastmoney.com/replylist,%s,%s_%d.html",
+        stock_code, post_url_id, page,
+    )
+
+
+def comment_total_pages(comment_count: Column) -> Column:
+    return F.ceil(comment_count / F.lit(COMMENT_PAGE_SIZE)).cast("int")
+
+
 def salt_for(url: Column, n_salts: int) -> Column:
     """P8: deterministic skew-salt bucket for a dominant host."""
     return F.pmod(F.xxhash64(url), F.lit(n_salts)).cast("int")

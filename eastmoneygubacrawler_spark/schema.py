@@ -76,6 +76,7 @@ FRONTIER = StructType(
         StructField("stock_code", StringType(), True),
         StructField("content_type", StringType(), True),
         StructField("page", IntegerType(), True),
+        StructField("post_url_id", StringType(), True),  # depth-2 rows only
         # canonical crawl-order components (SURVEY.md §2.6)
         StructField("host_rank", LongType(), True),
         StructField("type_rank", IntegerType(), True),
@@ -173,6 +174,45 @@ TEXT_EXTRACT_RESULT = StructType(
         StructField("text", StringType(), True),
         StructField("post_time", StringType(), True),
         StructField("status", StringType(), True),  # ok | fund | no_time | no_content
+    ]
+)
+
+# Comments (depth-2).  The reference's comment crawler module is missing from
+# its repo (enhanced_comment_crawler.py imported at archive/main_controller
+# .py:18 but absent); this contract is engine-defined per FIXTURES.md §1.4:
+# comment pages paginate like list pages (30 replies/page), reply times are
+# year-less "MM-DD HH:MM" resolved by the X9 year-inference window.
+COMMENTS = StructType(
+    [
+        StructField("stock_code", StringType(), True),
+        StructField("content_type", StringType(), True),
+        StructField("post_url_id", StringType(), True),
+        StructField("reply_id", StringType(), False),
+        StructField("reply_user", StringType(), True),
+        StructField("reply_text", StringType(), True),
+        StructField("reply_time_raw", StringType(), True),  # "MM-DD HH:MM"
+        StructField("reply_time", StringType(), True),  # year-inferred
+        StructField("page", IntegerType(), True),
+        StructField("item_seq", IntegerType(), True),
+        StructField("round", IntegerType(), True),
+    ]
+)
+
+REPLY_ITEM = StructType(
+    [
+        StructField("reply_id", StringType(), True),
+        StructField("reply_user", StringType(), True),
+        StructField("reply_text", StringType(), True),
+        StructField("reply_time", StringType(), True),
+        StructField("item_seq", IntegerType(), True),
+    ]
+)
+
+REPLY_PARSE_RESULT = StructType(
+    [
+        StructField("count", LongType(), True),
+        StructField("items", ArrayType(REPLY_ITEM), True),
+        StructField("status", StringType(), True),  # ok | no_json | captcha
     ]
 )
 
