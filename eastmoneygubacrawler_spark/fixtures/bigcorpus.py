@@ -14,7 +14,7 @@ DataFrame, payload synthesis/fetch happens Arrow-batched in the executors.
 from __future__ import annotations
 
 import datetime as dt
-import json
+
 import random
 from typing import Iterator
 
@@ -53,7 +53,9 @@ def _item_fields(stock: str, ctype: str, i: int) -> dict:
         "post_title": _sentence(rng, 3, 8),
         "Art_Url": art_url,
         "post_click_count": rng.randint(0, 99999),
-        "post_comment_count": rng.randint(0, 999),
+        # no comment pages are materialized at this scale → keep 0 so a
+        # max_depth=2 crawl doesn't chase nonexistent reply URLs
+        "post_comment_count": 0,
         "post_publish_time": ts.strftime("%Y-%m-%d %H:%M:%S"),
         "user_nickname": rng.choice(_NICKS),
     }

@@ -23,7 +23,7 @@ All hashes are md5-derived so the DuckDB oracle can reproduce them bit-for-bit
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
