@@ -54,22 +54,44 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     max_waves: int = 64
     max_depth: int = 2  # 0=list only, 1=+post text, 2=+paginated comments
+    # fetch join strategy: broadcast the politeness-bounded batch (html never
+    # shuffles) vs sort-merge (for unbounded batches, where the driver-side
+    # broadcast build would serialize)
+    broadcast_fetch: bool = True
+    # F2 resume cursor (core/scheduler.py:206-217): only seeds >= start_code
+    # (asc) / <= start_code (desc) are crawled this round
+    start_code: str | None = None
+    crawl_order: str = "asc"  # seed sort direction (core/scheduler.py:202-204)
     # X9 start year: the reference seeds inference with datetime.now().year
     # (archive/main_class.py:765); fixed here for reproducibility
     inference_start_year: int = 2026
+    # politeness-table budget derivation: pages per host per round =
+    # round_seconds / delay_s; text fetches = max_qps × round_seconds
+    # (P1 core/scheduler.py:245; P2 archive/full_text_CrawlerAsync.py:152)
+    round_seconds: float = 3600.0
 
 
-def _seed_ranks(seeds: DataFrame) -> DataFrame:
-    """F1 seed filter + O1 deterministic order → host_rank per stock."""
+def _seed_ranks(
+    seeds: DataFrame, start_code: str | None = None, crawl_order: str = "asc"
+) -> DataFrame:
+    """F1 seed filter + F2 resume-cursor range + O1 deterministic order →
+    host_rank per stock (core/stock_loader.py:61-66; core/scheduler.py:202-217)."""
     filtered = seeds.filter(
         ~(F.upper(F.col("name")).contains("ST") | F.col("name").contains("退"))
     )
-    w = Window.orderBy("stock_code")
-    return (
-        filtered.select(U.zfill_code(F.col("stock_code")).alias("stock_code"))
-        .distinct()
-        .withColumn("host_rank", F.row_number().over(w).cast("long") - 1)
-    )
+    codes = filtered.select(
+        U.zfill_code(F.col("stock_code")).alias("stock_code")
+    ).distinct()
+    if start_code is not None:
+        cursor = str(start_code).zfill(6)
+        codes = codes.filter(
+            F.col("stock_code") >= cursor
+            if crawl_order == "asc"
+            else F.col("stock_code") <= cursor
+        )
+    order = F.col("stock_code").asc() if crawl_order == "asc" else F.col("stock_code").desc()
+    w = Window.orderBy(order)
+    return codes.withColumn("host_rank", F.row_number().over(w).cast("long") - 1)
 
 
 def _with_url_identity(df: DataFrame, n_salts: int) -> DataFrame:
@@ -93,6 +115,12 @@ def run_crawl(
     """Run one crawl round; commits state atomically; returns metrics."""
     cfg = cfg or CrawlConfig()
     t0 = time.time()
+    phase_t: dict = {}
+
+    def _mark(name):
+        now = time.time()
+        phase_t[name] = round(now - phase_t.get("_last", t0), 3) + phase_t.get(name, 0.0)
+        phase_t["_last"] = now
     round_id = store.current_round() + 1
 
     posts_prev = store.load(spark, "posts")
@@ -100,10 +128,26 @@ def run_crawl(
 
     from .fetch import FixtureFetcher
 
-    fetcher = FixtureFetcher(pages)
+    fetcher = FixtureFetcher(pages, broadcast_scheduled=cfg.broadcast_fetch)
+
+    # per-host politeness budgets derived from the config table (P1/P2/P5)
+    list_budgets = text_budgets = None
+    if politeness is not None:
+        list_budgets = politeness.select(
+            "host",
+            F.greatest(
+                F.floor(F.lit(cfg.round_seconds) / F.col("delay_s")), F.lit(1)
+            ).cast("long").alias("budget"),
+        )
+        text_budgets = politeness.select(
+            "host",
+            F.greatest(
+                F.floor(F.col("max_qps") * F.lit(cfg.round_seconds)), F.lit(1)
+            ).cast("long").alias("budget"),
+        )
 
     # ---- probe stage -------------------------------------------------------
-    ranks = _seed_ranks(seeds)
+    ranks = _seed_ranks(seeds, cfg.start_code, cfg.crawl_order)
     ctypes = spark.createDataFrame(
         [("news", 0), ("report", 1), ("notice", 2)], ["content_type", "type_rank"]
     )
@@ -182,7 +226,10 @@ def run_crawl(
         waves += 1
         if horizons is not None:
             pending = FR.prune_beyond_horizon(pending, horizons)
-        batch = FR.politeness_schedule(pending, cfg.budget_per_host).cache()
+        batch = FR.politeness_schedule(
+            pending, cfg.budget_per_host, host_budgets=list_budgets
+        ).cache()
+        _mark('schedule')
         n_batch = batch.count()
         if n_batch == 0:
             break
@@ -262,6 +309,7 @@ def run_crawl(
         if posts_keys_prev is not None:
             firsts_wave = firsts_wave.join(posts_keys_prev, on=POSTS_KEY, how="left_anti")
         firsts_wave = firsts_wave.localCheckpoint(eager=True)
+        _mark('list_fetch_parse')
 
         all_items = (
             firsts_wave
@@ -328,7 +376,9 @@ def run_crawl(
         )
 
     posts_new = posts_new.cache()
+    _mark('horizon_misc')
     n_posts_new = posts_new.count()
+    _mark('posts_project')
 
     # ---- depth-1: full-text fetch (new posts + cross-round retries) ----------
     # Reference analogs: stage-2 queue drain (archive/full_text_CrawlerAsync
@@ -381,7 +431,9 @@ def run_crawl(
         d1_cand = d1_cand.cache()
 
         text_budget = cfg.text_budget_per_host or cfg.budget_per_host
-        scheduled = FR.politeness_schedule(d1_cand, text_budget)
+        scheduled = FR.politeness_schedule(
+            d1_cand, text_budget, host_budgets=text_budgets
+        )
         unscheduled = d1_cand.join(scheduled.select("url"), "url", "left_anti")
         fetched_posts = (
             fetcher.fetch(
@@ -415,6 +467,7 @@ def run_crawl(
             F.col("extract_status").isin("ok", "fund")
         ).select("url", "full_text", "full_text_time")
         n_text_fetched = fetched_posts.count()
+        _mark('text_fetch_extract')
         post_seen_urls = text_ok.select("url")
 
         # frontier rows: failures get attempts+1 (retry→failed at budget),
@@ -525,7 +578,9 @@ def run_crawl(
                 d2_cand = SE.filter_unseen(d2_cand, seen_prev)
             d2_cand = d2_cand.cache()
             text_budget = cfg.text_budget_per_host or cfg.budget_per_host
-            c_sched = FR.politeness_schedule(d2_cand, text_budget)
+            c_sched = FR.politeness_schedule(
+                d2_cand, text_budget, host_budgets=text_budgets
+            )
             c_unsched = d2_cand.join(c_sched.select("url"), "url", "left_anti")
 
             from ..functions.extract import parse_reply_page_udf
@@ -547,6 +602,7 @@ def run_crawl(
                 .cache()
             )
             n_comment_fetched = fetched_c.count()
+            _mark('comment_fetch')
             lineage_frames.append(
                 fetched_c.groupBy("partition_id", "host")
                 .agg(
@@ -726,6 +782,7 @@ def run_crawl(
         ).select(*[f.name for f in frontier_out.schema.fields])
         frontier_out = frontier_out.unionByName(failed_carry)
 
+    _mark('assemble')
     store.commit(
         round_id,
         {
@@ -737,6 +794,8 @@ def run_crawl(
         },
     )
 
+    _mark('commit')
+    phase_t.pop('_last', None)
     wall_s = time.time() - t0
     urls_fetched = (
         list_fetched_rows + n_text_fetched + n_comment_fetched + probe_res.count()
@@ -747,5 +806,6 @@ def run_crawl(
         "posts_new": n_posts_new,
         "urls_fetched": urls_fetched,
         "wall_s": wall_s,
+        "phases": phase_t,
         "throughput_urls_per_s": urls_fetched / wall_s if wall_s > 0 else 0.0,
     }

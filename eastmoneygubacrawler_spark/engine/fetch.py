@@ -18,15 +18,34 @@ from pyspark.sql import functions as F
 
 
 class FixtureFetcher:
-    """Fetch = lookup join against a pages table (html column)."""
+    """Fetch = lookup join against a pages table (html column).
 
-    def __init__(self, pages: DataFrame):
+    Join strategy matters enormously here: a sort-merge join shuffles the
+    page *payloads* (html bytes — the dominant data volume) twice.  A
+    politeness batch is bounded (budget × hosts), so we broadcast the
+    scheduled URL set instead: the pages scan streams through a broadcast
+    hash join and html is never shuffled.  Misses (fetch failures) are
+    recovered with a second, column-pruned scan (url only) — Catalyst prunes
+    the html column out of that scan entirely.
+
+    ``broadcast_scheduled=False`` falls back to the shuffle join for
+    unbounded batches.
+    """
+
+    def __init__(self, pages: DataFrame, broadcast_scheduled: bool = True):
         # only the columns a fetch returns; lets Catalyst prune the scan
         self.pages = pages.select("url", "html")
+        self.broadcast_scheduled = broadcast_scheduled
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed)."""
-        return scheduled.join(self.pages, on="url", how="left")
+        if not self.broadcast_scheduled:
+            return scheduled.join(self.pages, on="url", how="left")
+        hits = self.pages.join(F.broadcast(scheduled), on="url", how="inner")
+        misses = scheduled.join(
+            self.pages.select("url"), on="url", how="left_anti"
+        ).withColumn("html", F.lit(None).cast("binary"))
+        return hits.unionByName(misses)
 
 
 class HttpFetcher:

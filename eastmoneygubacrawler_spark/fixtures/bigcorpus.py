@@ -123,7 +123,7 @@ def build_big_corpus(
                 url = _canonical(stock, item)
                 rng = random.Random(f"page|{url}")
                 pub = item["post_publish_time"]
-                paras = _paragraphs(rng, 3, 8)
+                paras = _paragraphs(rng, 12, 28)  # realistic article length
                 if "caifuhao" in url:
                     html = caifuhao_post_html(pub, paras, variant="cfh_web")
                     text = caifuhao_expected_text(paras)

@@ -37,19 +37,35 @@ def order_key_cols(df: DataFrame) -> list:
 
 
 def politeness_schedule(
-    pending: DataFrame, budget_per_host: int, host_col: str = "host"
+    pending: DataFrame,
+    budget_per_host: int,
+    host_col: str = "host",
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
-    """Keep the first ``budget_per_host`` rows per host in canonical order.
+    """Keep the first ``budget`` rows per host in canonical order.
 
+    ``host_budgets`` (host, budget) overrides the default per host — the
+    declarative form of the reference's per-site intervals
+    (core/user_agent_config.py:123-135): budget = round_seconds / delay_s.
     The rank is the priority queue; at 10^10 scale the window shuffles by
     host exactly once and AQE splits any skewed host partition.
     """
+    if host_budgets is None and budget_per_host >= 1_000_000_000:
+        # unbounded budget ⇒ the rank is a no-op; skip the per-host window —
+        # with one dominant host it would funnel every row through one task
+        return pending
     w = Window.partitionBy(host_col).orderBy(*order_key_cols(pending))
-    return (
-        pending.withColumn("_prank", F.row_number().over(w))
-        .filter(F.col("_prank") <= budget_per_host)
-        .drop("_prank")
-    )
+    ranked = pending.withColumn("_prank", F.row_number().over(w))
+    if host_budgets is not None:
+        ranked = ranked.join(
+            F.broadcast(host_budgets.select(host_col, "budget")), on=host_col, how="left"
+        )
+        out = ranked.filter(
+            F.col("_prank") <= F.coalesce(F.col("budget"), F.lit(budget_per_host))
+        ).drop("_prank", "budget")
+    else:
+        out = ranked.filter(F.col("_prank") <= budget_per_host).drop("_prank")
+    return out
 
 
 def salted_repartition(df: DataFrame, n_partitions: int, n_salts: int) -> DataFrame:

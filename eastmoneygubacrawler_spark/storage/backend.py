@@ -48,12 +48,24 @@ class SnapshotStore:
         return -1 if m is None else m["round"]
 
     def commit(self, round_id: int, tables: dict[str, DataFrame]) -> dict:
-        """Write all tables for ``round_id`` then atomically flip the pointer."""
+        """Write all tables for ``round_id`` then atomically flip the pointer.
+
+        Table writes run as concurrent Spark jobs (driver threads) — the
+        commit wall is max(write) not sum(write); atomicity comes solely from
+        the pointer flip, so concurrency is safe."""
+        from concurrent.futures import ThreadPoolExecutor
+
         paths = {}
-        for name, df in tables.items():
+
+        def _write(item):
+            name, df = item
             path = os.path.join(self.root, "data", name, f"r{round_id:06d}")
             df.write.mode("overwrite").parquet(path)
-            paths[name] = path
+            return name, path
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            for name, path in pool.map(_write, tables.items()):
+                paths[name] = path
         manifest = {"round": round_id, "tables": paths, "committed_at": time.time()}
         tmp = self._pointer + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:

@@ -105,6 +105,27 @@ def test_small_list_budget_multiwave_same_final_state(spark, small_corpus, tmp_p
     assert posts_tbl(s1) == posts_tbl(s2)
 
 
+def test_politeness_table_drives_per_host_budget(spark, tmp_path):
+    """P5: per-site intervals from the politeness table override the default
+    (core/user_agent_config.py:123-135): a huge guba delay caps list fetches
+    per round; other hosts are unaffected."""
+    from eastmoneygubacrawler_spark.schema import POLITENESS
+
+    corpus = build_corpus(FixtureConfig(n_stocks=1, max_count=240, adversarial=False))
+    pages, seeds, robots = _dfs(spark, corpus)
+    politeness = spark.createDataFrame(
+        [("guba.eastmoney.com", 1800.0, 60.0, 20)], POLITENESS
+    )  # delay 1800s of a 3600s round ⇒ 2 list pages per wave
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=8, use_bloom=False)
+    store = SnapshotStore(str(tmp_path / "pol"))
+    m = run_crawl(spark, store, pages, seeds, robots, politeness, cfg)
+    # 1 stock × 3 types × 3 pages = 9 list pages at 2/wave ⇒ ≥5 waves
+    assert m["waves"] >= 5
+    golden = simulate_reference_crawl(corpus)
+    got = store.load(spark, "posts").count()
+    assert got == len(golden["posts"])  # budget paces, never drops
+
+
 def test_text_budget_pending_carryover(spark, tmp_path):
     corpus = build_corpus(FixtureConfig(n_stocks=1, max_count=12, adversarial=False))
     pages, seeds, robots = _dfs(spark, corpus)

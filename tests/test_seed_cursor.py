@@ -1,0 +1,36 @@
+"""F2 resume cursor + O1 crawl order direction (core/scheduler.py:202-217)."""
+
+from eastmoneygubacrawler_spark.engine.crawl import _seed_ranks
+from eastmoneygubacrawler_spark.schema import SEEDS
+
+
+def _seeds(spark):
+    rows = [
+        ("600001", "甲", "SH"), ("600020", "乙", "SH"), ("600300", "丙", "SH"),
+        ("600999", "ST丁", "SH"), ("000042", "戊", "SZ"), ("42", "己", "SZ"),
+    ]
+    return spark.createDataFrame(rows, SEEDS)
+
+
+def test_asc_order_and_padding(spark):
+    got = [
+        (r.stock_code, r.host_rank)
+        for r in _seed_ranks(_seeds(spark)).orderBy("host_rank").collect()
+    ]
+    assert got == [
+        ("000042", 0), ("600001", 1), ("600020", 2), ("600300", 3),
+    ]  # ST dropped, "42" zero-padded and deduped into 000042
+
+
+def test_start_code_cursor_asc(spark):
+    got = sorted(
+        r.stock_code
+        for r in _seed_ranks(_seeds(spark), start_code="600010").collect()
+    )
+    assert got == ["600020", "600300"]
+
+
+def test_start_code_cursor_desc(spark):
+    ranks = _seed_ranks(_seeds(spark), start_code="600020", crawl_order="desc")
+    got = [(r.stock_code, r.host_rank) for r in ranks.orderBy("host_rank").collect()]
+    assert got == [("600020", 0), ("600001", 1), ("000042", 2)]
