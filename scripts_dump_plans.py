@@ -1,0 +1,66 @@
+"""Regenerate PLANS.md: formatted physical plans of the flagship stages.
+
+Run: python scripts_dump_plans.py   (writes PLANS.md)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from eastmoneygubacrawler_spark.engine.fetch import FixtureFetcher
+from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+from eastmoneygubacrawler_spark.functions.extract import (
+    extract_text_udf,
+    parse_list_page_udf,
+)
+from eastmoneygubacrawler_spark.plans.audit import explain_str
+from eastmoneygubacrawler_spark.schema import PAGES
+from eastmoneygubacrawler_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("egs-plans", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = build_corpus(FixtureConfig(n_stocks=2, adversarial=False))
+    tmp = "/tmp/egs_plans_pages"
+    spark.createDataFrame(corpus["pages"], PAGES).write.mode("overwrite").parquet(tmp)
+    pages = spark.read.parquet(tmp)
+
+    sections = []
+
+    # 1. pruned + pushed-down scan
+    scan = pages.select("url", "lang").filter(F.col("lang") == "zh")
+    sections.append(("Column-pruned, filter-pushed pages scan", explain_str(scan)))
+
+    # 2. broadcast fetch + Arrow-batched list parse (no html shuffle)
+    sched = pages.select("url").filter(F.col("url").contains("/list,")).limit(50)
+    fetched = FixtureFetcher(pages).fetch(sched).withColumn(
+        "p", parse_list_page_udf(F.col("html"), F.lit(None).cast("long"))
+    )
+    sections.append(("Broadcast fetch join + ArrowEvalPython list parse", explain_str(fetched)))
+
+    # 3. extraction stage
+    ext = pages.filter(F.col("text").isNotNull()).select(
+        "url", extract_text_udf(F.col("url"), F.col("html")).alias("e")
+    )
+    sections.append(("Byte-identity text extraction (ArrowEvalPython)", explain_str(ext)))
+
+    with open("PLANS.md", "w") as f:
+        f.write(
+            "# PLANS — flagship physical plans (`.explain(\"formatted\")`)\n\n"
+            "Regenerate with `python scripts_dump_plans.py`.  Things to check:\n"
+            "ReadSchema carries only requested columns; PushedFilters reaches the\n"
+            "scan; the fetch is a BroadcastHashJoin (html never shuffles); all\n"
+            "Python is ArrowEvalPython (pandas UDFs), never BatchEvalPython.\n"
+        )
+        for title, plan in sections:
+            f.write(f"\n## {title}\n\n```\n{plan.strip()}\n```\n")
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
