@@ -76,8 +76,15 @@ def _seed_ranks(
 ) -> DataFrame:
     """F1 seed filter + F2 resume-cursor range + O1 deterministic order →
     host_rank per stock (core/stock_loader.py:61-66; core/scheduler.py:202-217)."""
+    # exact reference semantics (core/stock_loader.py:61-66): only the literal
+    # substrings 'ST' / 'st' / '退' — NOT upper(name), which would over-filter
+    # mixed-case names like 'St...'
     filtered = seeds.filter(
-        ~(F.upper(F.col("name")).contains("ST") | F.col("name").contains("退"))
+        ~(
+            F.col("name").contains("ST")
+            | F.col("name").contains("st")
+            | F.col("name").contains("退")
+        )
     )
     codes = filtered.select(
         U.zfill_code(F.col("stock_code")).alias("stock_code")

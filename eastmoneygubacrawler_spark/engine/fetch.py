@@ -30,11 +30,28 @@ class FixtureFetcher:
 
     ``broadcast_scheduled=False`` falls back to the shuffle join for
     unbounded batches.
+
+    **Uniqueness contract**: ``pages`` must have one row per url (the engine's
+    own commit path guarantees this; duplicate urls would duplicate fetched
+    rows and skew the J4 horizon streaks and J2 new-count accounting).  Pass
+    ``unique_urls=False`` for untrusted inputs: one row per url is then picked
+    deterministically (min md5(html)) at the cost of shuffling the pages scan
+    once — keep the default on the 100 TB path.
     """
 
-    def __init__(self, pages: DataFrame, broadcast_scheduled: bool = True):
+    def __init__(
+        self,
+        pages: DataFrame,
+        broadcast_scheduled: bool = True,
+        unique_urls: bool = True,
+    ):
         # only the columns a fetch returns; lets Catalyst prune the scan
-        self.pages = pages.select("url", "html")
+        p = pages.select("url", "html")
+        if not unique_urls:
+            p = p.groupBy("url").agg(
+                F.min_by("html", F.md5(F.col("html"))).alias("html")
+            )
+        self.pages = p
         self.broadcast_scheduled = broadcast_scheduled
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:

@@ -47,11 +47,14 @@ def canonical_post_url(stock: str, item: dict) -> str:
 
 
 def _seed_order(seeds: list[dict]) -> list[str]:
-    """F1 + O1: filter ST/退, sort ascending."""
+    """F1 + O1: filter literal ST/st/退 substrings (core/stock_loader.py:61-66),
+    sort ascending."""
     codes = [
         s["stock_code"]
         for s in seeds
-        if "ST" not in (s.get("name") or "").upper() and "退" not in (s.get("name") or "")
+        if "ST" not in (s.get("name") or "")
+        and "st" not in (s.get("name") or "")
+        and "退" not in (s.get("name") or "")
     ]
     return sorted(codes)
 

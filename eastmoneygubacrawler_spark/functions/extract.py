@@ -50,10 +50,6 @@ def parse_list_page_py(html, expected_total_count=None) -> dict:
     text = _decode(html)
     empty = {"count": None, "items": None, "all_nick_ok": None}
 
-    # F3 bot-block check (core/crawler.py:455-459 checks '验证' in page)
-    if "验证" in text or "captcha" in text.lower():
-        return {**empty, "status": "captcha"}
-
     root = parse_html(text)
     article_list_data = None
     for script in root.find_all("script"):
@@ -68,6 +64,14 @@ def parse_list_page_py(html, expected_total_count=None) -> dict:
                     continue
 
     if not article_list_data or "re" not in article_list_data:
+        # F3 bot-block check runs ONLY after the JSON parse fails: the
+        # reference treats '验证' as anti-crawl only when no article_list is
+        # present (core/crawler.py:455-459 get_soup checks it when 'listitem'
+        # is absent; get_data raises only on missing JSON).  A valid page
+        # whose post titles contain 验证 (e.g. 验证码 in financial text) must
+        # parse normally.
+        if "验证" in text or "captcha" in text.lower():
+            return {**empty, "status": "captcha"}
         # core/crawler.py:557-558: "没有相关数据" ⇒ legitimately empty
         if "没有相关数据" in text:
             return {"count": 0, "items": [], "status": "no_data", "all_nick_ok": True}
@@ -269,8 +273,6 @@ def extract_text_py(url: str, html) -> tuple:
 
 def parse_reply_page_py(html) -> dict:
     text = _decode(html)
-    if "验证" in text or "captcha" in text.lower():
-        return {"count": None, "items": None, "status": "captcha"}
     root = parse_html(text)
     data = None
     for script in root.find_all("script"):
@@ -284,6 +286,10 @@ def parse_reply_page_py(html) -> dict:
                 except Exception:
                     continue
     if not data or "re" not in data:
+        # same check order as parse_list_page_py: anti-crawl only when the
+        # JSON parse fails (reply text itself may legitimately contain 验证)
+        if "验证" in text or "captcha" in text.lower():
+            return {"count": None, "items": None, "status": "captcha"}
         return {"count": None, "items": None, "status": "no_json"}
     items = []
     for seq, it in enumerate(data["re"] or []):

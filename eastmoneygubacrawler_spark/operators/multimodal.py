@@ -49,16 +49,21 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 
 def decode_image(payload: bytes, deterministic_fake: bool = False):
-    """Decode → (width, height, features).  STUB: real decode needs PIL."""
+    """Decode → (width, height, features).  STUB: real decode needs PIL.
+
+    ``deterministic_fake`` always wins, regardless of PIL availability —
+    the fake path is the *testing* contract and must behave identically on
+    environments that do have Pillow installed.
+    """
+    if deterministic_fake:
+        h = hashlib.md5(payload or b"").digest()
+        return 64 + h[0] % 512, 64 + h[1] % 512, _fake_features(payload)
     if _HAVE_PIL:  # pragma: no cover — not available here
         raise NotImplementedError("wire PIL decode here on a real cluster")
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass deterministic_fake=True for pipeline testing"
-        )
-    h = hashlib.md5(payload or b"").digest()
-    return 64 + h[0] % 512, 64 + h[1] % 512, _fake_features(payload)
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "pass deterministic_fake=True for pipeline testing"
+    )
 
 
 def extract_media_features(

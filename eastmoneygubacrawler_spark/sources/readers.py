@@ -23,8 +23,14 @@ def load_seeds(spark: SparkSession, path: str) -> DataFrame:
     """Seed parquet → filtered, zero-padded stock codes (F1 + X13)."""
     seeds = spark.read.parquet(path)
     return (
+        # literal 'ST'/'st'/'退' substrings only (core/stock_loader.py:61-66);
+        # upper(name) would also drop mixed-case 'St...' names the reference keeps
         seeds.filter(
-            ~(F.upper(F.col("name")).contains("ST") | F.col("name").contains("退"))
+            ~(
+                F.col("name").contains("ST")
+                | F.col("name").contains("st")
+                | F.col("name").contains("退")
+            )
         )
         .withColumn("stock_code", zfill_code(F.col("stock_code")))
     )

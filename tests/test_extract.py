@@ -171,3 +171,32 @@ def test_extract_links():
         "http://caifuhao.eastmoney.com/news/2.html",
         "https://guba.eastmoney.com/list,600000,1,f.html",
     ]
+
+
+class TestCaptchaCheckOrder:
+    def test_valid_page_with_captcha_word_in_title_parses_ok(self):
+        """'验证' in post titles must NOT mark the page bot-blocked: the check
+        runs only when no article_list JSON is found (core/crawler.py order)."""
+        items = _items(3)
+        items[1]["post_title"] = "验证码新政解读"
+        res = parse_list_page_py(list_page_html(3, items).encode())
+        assert res["status"] == "ok"
+        assert len(res["items"]) == 3
+        assert res["items"][1]["post_title"] == "验证码新政解读"
+
+    def test_blocked_page_still_captcha(self):
+        res = parse_list_page_py("<html><body>请完成验证</body></html>")
+        assert res["status"] == "captcha"
+
+    def test_reply_page_with_captcha_word_in_text_parses_ok(self):
+        from eastmoneygubacrawler_spark.functions.extract import parse_reply_page_py
+
+        payload = json.dumps(
+            {"count": 1, "re": [{"reply_id": "r1", "reply_user": "u",
+                                 "reply_text": "需要验证一下", "reply_time": "02-01 08:00"}]},
+            ensure_ascii=False,
+        )
+        html = f"<html><script>var reply_list = {payload};</script></html>"
+        res = parse_reply_page_py(html.encode())
+        assert res["status"] == "ok"
+        assert res["items"][0]["reply_text"] == "需要验证一下"

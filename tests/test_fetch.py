@@ -43,3 +43,19 @@ def test_broadcast_fetch_does_not_shuffle_html(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_unique_urls_false_dedups_deterministically(spark):
+    """Duplicate urls in pages: unique_urls=False picks min-md5(html) row."""
+    pages = spark.createDataFrame(
+        [("https://h/1", b"bbbb"), ("https://h/1", b"aaaa"), ("https://h/2", b"c")],
+        ["url", "html"],
+    )
+    scheduled = spark.createDataFrame([("https://h/1",), ("https://h/2",)], ["url"])
+    out = FixtureFetcher(pages, unique_urls=False).fetch(scheduled).collect()
+    got = {r.url: bytes(r.html) for r in out}
+    assert len(out) == 2
+    import hashlib
+
+    expect = min([b"bbbb", b"aaaa"], key=lambda b: hashlib.md5(b).hexdigest())
+    assert got["https://h/1"] == expect

@@ -34,3 +34,19 @@ def test_start_code_cursor_desc(spark):
     ranks = _seed_ranks(_seeds(spark), start_code="600020", crawl_order="desc")
     got = [(r.stock_code, r.host_rank) for r in ranks.orderBy("host_rank").collect()]
     assert got == [("600020", 0), ("600001", 1), ("000042", 2)]
+
+
+def test_st_filter_literal_substrings_only(spark):
+    """Reference drops literal 'ST'/'st'/'退' only (core/stock_loader.py:61-66):
+    mixed-case 'St'/'sT' names must be KEPT."""
+    rows = [
+        ("600001", "St股份", "SH"),   # kept: neither 'ST' nor 'st' substring
+        ("600002", "sT科技", "SH"),   # kept
+        ("600003", "ST甲", "SH"),     # dropped
+        ("600004", "bst乙", "SH"),    # dropped ('st' substring)
+        ("600005", "退市丙", "SH"),   # dropped
+        ("600006", "正常", "SH"),     # kept
+    ]
+    seeds = spark.createDataFrame(rows, SEEDS)
+    got = sorted(r.stock_code for r in _seed_ranks(seeds).collect())
+    assert got == ["600001", "600002", "600006"]
