@@ -15,7 +15,8 @@ archive/main_controller.py's stage-1/stage-2 split, SURVEY.md §3.1):
   depth-1: post URLs (X4) ─ robots gate ─ seen-set (bloom + exact anti-join)
       ─ politeness waves ─ fetch → extract_text UDF2 (byte-identity) ─→
       MERGE full_text into posts (S6 analog)
-  atomic commit: posts, seen, frontier, crawl_log (SnapshotStore)
+  atomic append-only commit: posts/seen/comments/crawl_log round DELTAS +
+      frontier snapshot + text merge-on-read patches (SnapshotStore)
 
 Determinism: the crawl order is computed as data, so results are independent
 of physical execution order — equality with the reference's sequential loop
@@ -497,40 +498,56 @@ def run_crawl(
         ).withColumn("status", F.lit("pending"))
         d1_frontier_rows = fails.unionByName(pend)
 
-    # ---- assemble final tables ----------------------------------------------
+    # ---- assemble round deltas (append-only commit) ---------------------------
+    # Each table commits ONLY this round's new rows; SnapshotStore accumulates
+    # delta paths and unions them at load.  Commit cost is O(round delta) —
+    # never O(corpus), the difference between a 0.1% round rewriting 0.1% and
+    # rewriting 100% at a 10^10-URL frontier.
     from ..schema import POSTS
 
     posts_cols = [f.name for f in POSTS.fields]
     cast_types = {f.name: f.dataType for f in POSTS.fields}
+    appends: dict = {}
+    patch_tables: dict = {}
     if n_posts_new > 0:
         posts_out = (
             posts_new.withColumn("full_text", F.lit(None).cast("string"))
             .withColumn("full_text_time", F.lit(None).cast("string"))
             .select(*[F.col(c).cast(cast_types[c]).alias(c) for c in posts_cols])
         )
-        posts_final = (
-            posts_prev.unionByName(posts_out) if posts_prev is not None else posts_out
-        )
-    else:
-        posts_final = posts_prev if posts_prev is not None else spark.createDataFrame([], POSTS)
-
-    # MERGE extracted text into posts (S6 analog: Mongo upsert by href,
-    # archive/full_text_CrawlerAsync.py:409-413); existing text never
-    # overwritten because extracted URLs are seen-gated out of refetch
-    if text_ok is not None:
-        upd = text_ok.select(
-            "url",
-            F.col("full_text").alias("_new_text"),
-            F.col("full_text_time").alias("_new_time"),
-        )
-        posts_final = (
-            posts_final.join(upd, on="url", how="left")
-            .withColumn("full_text", F.coalesce(F.col("full_text"), F.col("_new_text")))
-            .withColumn(
-                "full_text_time", F.coalesce(F.col("full_text_time"), F.col("_new_time"))
+        # same-round MERGE of extracted text (S6 analog: Mongo upsert by href,
+        # archive/full_text_CrawlerAsync.py:409-413) — a round-delta ⋈
+        # round-delta join, so the committed delta already carries its text
+        # and load() needs no patch for the common case
+        if text_ok is not None:
+            upd = text_ok.select(
+                "url",
+                F.col("full_text").alias("_new_text"),
+                F.col("full_text_time").alias("_new_time"),
             )
-            .drop("_new_text", "_new_time")
-            .select(*posts_cols)
+            posts_out = (
+                posts_out.join(upd, on="url", how="left")
+                .withColumn(
+                    "full_text", F.coalesce(F.col("full_text"), F.col("_new_text"))
+                )
+                .withColumn(
+                    "full_text_time",
+                    F.coalesce(F.col("full_text_time"), F.col("_new_time")),
+                )
+                .select(*posts_cols)
+            )
+        appends["posts"] = posts_out
+    # cross-round retry fills: texts fetched this round for posts committed in
+    # EARLIER rounds (d1 frontier carry) become merge-on-read patch rows;
+    # existing text is never overwritten because extracted URLs are seen-gated
+    # out of refetch, so ≤1 patch row per url ever exists (the MoR contract)
+    if text_ok is not None and frontier_prev is not None:
+        fills = text_ok
+        if n_posts_new > 0:
+            fills = fills.join(posts_new.select("url"), on="url", how="left_anti")
+        patch_tables["posts"] = (
+            fills.select("url", "full_text", "full_text_time"),
+            ["url"],
         )
 
     # ---- depth-2: paginated comments (engine-defined contract) ---------------
@@ -540,7 +557,6 @@ def run_crawl(
     from ..schema import COMMENTS
 
     comments_prev = store.load(spark, "comments")
-    comments_final = comments_prev
     comment_seen_urls = spark.createDataFrame([], "url string")
     d2_frontier_rows = None
     n_comment_fetched = 0
@@ -675,9 +691,7 @@ def run_crawl(
                     on=["stock_code", "content_type", "post_url_id", "reply_id"],
                     how="left_anti",
                 )
-                comments_final = comments_prev.unionByName(new_comments)
-            else:
-                comments_final = new_comments
+            appends["comments"] = new_comments
 
             c_fails = fetched_c.filter(~F.col("ok")).select(
                 "url", "url_hash", "host", "salt", "stock_code", "content_type",
@@ -694,8 +708,10 @@ def run_crawl(
                 "attempts",
             ).withColumn("status", F.lit("pending"))
             d2_frontier_rows = c_fails.unionByName(c_pend)
-    if comments_final is None:
-        comments_final = spark.createDataFrame([], COMMENTS)
+    if comments_prev is None and "comments" not in appends and cfg.max_depth >= 2:
+        # first round with no comment pages: commit an empty delta so the
+        # table exists with a stable schema
+        appends["comments"] = spark.createDataFrame([], COMMENTS)
 
     if horizons is not None:
         list_seen_pages = FR.prune_beyond_horizon(list_seen_pages, horizons)
@@ -710,12 +726,11 @@ def run_crawl(
         .select("url_hash", "url", "shard", "round")
     )
     if seen_prev is not None:
+        # delta-only append: urls already in the seen set are not re-written
         seen_new = seen_new.join(
             seen_prev.select("url"), on="url", how="left_anti"
         ).select("url_hash", "url", "shard", "round")
-        seen_final = seen_prev.unionByName(seen_new)
-    else:
-        seen_final = seen_new
+    appends["seen"] = seen_new
 
     if lineage_frames:
         crawl_log = lineage_frames[0]
@@ -727,9 +742,6 @@ def run_crawl(
             "round", "stage", "partition_id", "host", "fetched", "new_urls",
             "bytes", "wall_ms",
         )
-        log_prev = store.load(spark, "crawl_log")
-        if log_prev is not None:
-            crawl_log = log_prev.unionByName(crawl_log)
     else:
         from ..schema import CRAWL_LOG
 
@@ -789,16 +801,16 @@ def run_crawl(
         ).select(*[f.name for f in frontier_out.schema.fields])
         frontier_out = frontier_out.unionByName(failed_carry)
 
+    appends["crawl_log"] = crawl_log
+
     _mark('assemble')
+    # frontier is the only snapshot table (small cross-round state: retry/
+    # pending/failed rows); everything else commits as an append-only delta
     store.commit(
         round_id,
-        {
-            "posts": posts_final,
-            "seen": seen_final,
-            "crawl_log": crawl_log,
-            "frontier": frontier_out,
-            "comments": comments_final,
-        },
+        snapshots={"frontier": frontier_out},
+        appends=appends,
+        patches=patch_tables,
     )
 
     _mark('commit')

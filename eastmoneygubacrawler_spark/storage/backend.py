@@ -1,21 +1,39 @@
-"""Atomic multi-table snapshot store (Iceberg-fallback).
+"""Atomic multi-table snapshot store with append-only delta commits
+(Iceberg-fallback).
 
-No Iceberg jars are available offline (SURVEY.md §7.3), so this reproduces the
-snapshot/commit semantics the north rule needs on plain Parquet:
+No Iceberg jars are available offline (SURVEY.md §7.3), so this reproduces
+Iceberg's snapshot/append/merge-on-read semantics on plain Parquet:
 
-- each round writes every engine table (posts, seen, frontier, crawl_log) to a
-  round-numbered directory,
-- a single manifest JSON listing all table paths is then moved into place with
-  ``os.replace`` — one atomic pointer flip commits the whole round,
-- a killed run restarts from the last committed manifest: rounds are
-  idempotent, so replaying the interrupted round yields the identical state
-  (test_resume.py).
+- **append tables** (posts, seen, comments, crawl_log): each round writes ONLY
+  that round's new rows to a round-numbered delta directory; the manifest
+  accumulates the delta path list and ``load`` unions them.  Commit cost is
+  O(round delta), never O(total corpus) — at a 10^10-URL frontier a round that
+  adds 0.1% must not rewrite 100%.
+- **merge-on-read patches**: an append table can carry patch files (e.g. a
+  full-text fill for a post committed in an earlier round, the S6 Mongo-upsert
+  analog).  ``load`` left-joins the (tiny) patch union on the patch keys and
+  coalesces patched columns over base columns — Iceberg MoR update files.
+- **snapshot tables** (frontier): full state replaced each round; ``load``
+  reads only the latest path.
+- a single manifest JSON is moved into place with ``os.replace`` — one atomic
+  pointer flip commits the whole round.  A killed run restarts from the last
+  committed manifest: rounds are idempotent, so replaying the interrupted
+  round rewrites the same delta dirs and converges to the identical state
+  (tests/test_resume.py).
+- **compaction**: long delta chains are folded into one base file set
+  (``compact``), automatically once a chain exceeds ``auto_compact_after``
+  — bounding both manifest size and the per-load union fan-in.
+
+Manifest paths are stored RELATIVE to the store root so a copied/moved store
+(checkpoint restore) stays self-contained.
 
 On a real cluster the same interface maps 1:1 onto Iceberg
-(``df.writeTo(...).append()`` / snapshot metadata); only this module changes.
+(``df.writeTo(...).append()`` / MERGE / snapshot expiry); only this module
+changes.
 
 Reference analog: the ``start_code`` resume cursor (core/scheduler.py:206-217)
-— strictly weaker than this (it loses in-flight round state).
+plus the incremental-recrawl upsert (core/crawler.py:829-859) — strictly
+weaker than this (they lose in-flight round state).
 """
 
 from __future__ import annotations
@@ -25,11 +43,13 @@ import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, auto_compact_after: int = 64):
         self.root = root
+        self.auto_compact_after = auto_compact_after
         os.makedirs(root, exist_ok=True)
 
     @property
@@ -47,36 +67,138 @@ class SnapshotStore:
         m = self.manifest()
         return -1 if m is None else m["round"]
 
-    def commit(self, round_id: int, tables: dict[str, DataFrame]) -> dict:
-        """Write all tables for ``round_id`` then atomically flip the pointer.
+    # ------------------------------------------------------------------ commit
+
+    def commit(
+        self,
+        round_id: int,
+        snapshots: dict[str, DataFrame] | None = None,
+        appends: dict[str, DataFrame] | None = None,
+        patches: dict[str, tuple[DataFrame, list[str]]] | None = None,
+    ) -> dict:
+        """Write this round's data then atomically flip the pointer.
+
+        - ``snapshots``: name → full-state DataFrame (replaces the table).
+        - ``appends``: name → delta DataFrame (ONLY this round's new rows).
+        - ``patches``: name → (patch DataFrame, key_cols).  Patch rows update
+          existing rows of append table ``name`` at load time (non-key columns
+          coalesce over base).  The engine must guarantee ≤1 patch row per key
+          across all rounds (the seen-gate does for post texts).
 
         Table writes run as concurrent Spark jobs (driver threads) — the
         commit wall is max(write) not sum(write); atomicity comes solely from
-        the pointer flip, so concurrency is safe."""
+        the pointer flip, so concurrency is safe.
+        """
         from concurrent.futures import ThreadPoolExecutor
 
-        paths = {}
+        snapshots = dict(snapshots or {})
+        appends = dict(appends or {})
+        patches = dict(patches or {})
+        prev = self.manifest()
+        tables: dict = {} if prev is None else json.loads(json.dumps(prev["tables"]))
 
-        def _write(item):
-            name, df = item
-            path = os.path.join(self.root, "data", name, f"r{round_id:06d}")
-            df.write.mode("overwrite").parquet(path)
-            return name, path
+        jobs: list[tuple[DataFrame, str]] = []
+        for name, df in snapshots.items():
+            rel = f"data/{name}/r{round_id:06d}"
+            jobs.append((df, rel))
+            tables[name] = {"mode": "snapshot", "paths": [rel]}
+        for name, df in appends.items():
+            rel = f"data/{name}/r{round_id:06d}"
+            jobs.append((df, rel))
+            ent = tables.setdefault(name, {"mode": "append", "paths": []})
+            if rel not in ent["paths"]:  # idempotent replay of a killed round
+                ent["paths"].append(rel)
+        for name, (df, keys) in patches.items():
+            rel = f"data/{name}/p{round_id:06d}"
+            jobs.append((df, rel))
+            ent = tables.setdefault(name, {"mode": "append", "paths": []})
+            patch = ent.setdefault("patch", {"paths": [], "keys": list(keys)})
+            if rel not in patch["paths"]:
+                patch["paths"].append(rel)
 
-        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
-            for name, path in pool.map(_write, tables.items()):
-                paths[name] = path
-        manifest = {"round": round_id, "tables": paths, "committed_at": time.time()}
+        if jobs:
+            def _write(job):
+                df, rel = job
+                df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                list(pool.map(_write, jobs))
+
+        manifest = {"round": round_id, "tables": tables, "committed_at": time.time()}
+        self._flip(manifest)
+
+        # fold over-long delta chains (bounded manifest + load fan-in); runs
+        # after the flip so a crash mid-compaction leaves a valid store
+        if self.auto_compact_after and jobs:
+            spark = jobs[0][0].sparkSession
+            for name, ent in tables.items():
+                if ent["mode"] != "append":
+                    continue
+                n = len(ent["paths"]) + len(ent.get("patch", {}).get("paths", ()))
+                if n > self.auto_compact_after:
+                    self.compact(spark, name)
+        return self.manifest()
+
+    def _flip(self, manifest: dict) -> None:
         tmp = self._pointer + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._pointer)  # atomic commit point
-        return manifest
+
+    # -------------------------------------------------------------------- load
+
+    def _abs(self, rel: str) -> str:
+        return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
 
     def load(self, spark: SparkSession, table: str) -> DataFrame | None:
         m = self.manifest()
         if m is None or table not in m["tables"]:
             return None
-        return spark.read.parquet(m["tables"][table])
+        ent = m["tables"][table]
+        paths = [self._abs(p) for p in ent["paths"]]
+        if not paths:
+            return None
+        if ent.get("mode", "snapshot") == "snapshot":
+            return spark.read.parquet(paths[-1])
+        base = spark.read.parquet(*paths)
+        patch = ent.get("patch")
+        if patch and patch["paths"]:
+            keys = patch["keys"]
+            pdf = spark.read.parquet(*[self._abs(p) for p in patch["paths"]])
+            val_cols = [c for c in pdf.columns if c not in keys]
+            renamed = pdf.select(
+                *keys, *[F.col(c).alias(f"_patch_{c}") for c in val_cols]
+            )
+            base_cols = base.columns
+            # patch union is tiny (cross-round retry fills only) → broadcast
+            base = base.join(F.broadcast(renamed), on=keys, how="left")
+            for c in val_cols:
+                base = base.withColumn(c, F.coalesce(F.col(f"_patch_{c}"), F.col(c)))
+            base = base.select(*base_cols)
+        return base
+
+    # --------------------------------------------------------------- compact
+
+    def compact(self, spark: SparkSession, table: str) -> None:
+        """Fold an append table's delta chain + patches into one base dir.
+
+        The merged view (``load``) is materialized once; the manifest then
+        references only the new base, with an empty patch list.  Atomic via
+        the same pointer flip; old delta dirs are left on disk (a GC pass can
+        remove unreferenced dirs, exactly Iceberg snapshot expiry).
+        """
+        m = self.manifest()
+        if m is None or table not in m["tables"]:
+            return
+        ent = m["tables"][table]
+        if ent.get("mode") != "append":
+            return
+        df = self.load(spark, table)
+        rel = f"data/{table}/base_r{m['round']:06d}_{int(time.time() * 1000)}"
+        df.write.mode("overwrite").parquet(self._abs(rel))
+        ent["paths"] = [rel]
+        if "patch" in ent:
+            ent["patch"]["paths"] = []
+        self._flip(m)

@@ -1,0 +1,105 @@
+"""Append-only delta commits: O(round) commit cost, merge-on-read patches,
+compaction, relocatable manifests."""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+
+def test_append_mode_unions_deltas(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, appends={"t": spark.range(5)})
+    store.commit(1, appends={"t": spark.range(5, 8)})
+    assert store.load(spark, "t").count() == 8
+    # each round wrote only its delta: two separate delta dirs exist
+    m = store.manifest()
+    assert m["tables"]["t"]["mode"] == "append"
+    assert len(m["tables"]["t"]["paths"]) == 2
+
+
+def test_commit_writes_only_round_delta_files(spark, tmp_path):
+    """The scale property itself: round N's write volume is O(delta), not
+    O(accumulated table) — asserted on actual bytes on disk."""
+    store = SnapshotStore(str(tmp_path / "s"))
+    big = spark.range(50_000).withColumn("pad", F.md5(F.col("id").cast("string")))
+    store.commit(0, appends={"t": big})
+
+    def _dir_bytes(rel):
+        p = os.path.join(store.root, rel)
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p) for f in fs
+        )
+
+    small = spark.range(50_000, 50_010).withColumn(
+        "pad", F.md5(F.col("id").cast("string"))
+    )
+    store.commit(1, appends={"t": small})
+    r0, r1 = _dir_bytes("data/t/r000000"), _dir_bytes("data/t/r000001")
+    assert store.load(spark, "t").count() == 50_010
+    # delta write is a tiny fraction of the base (allow generous parquet
+    # per-file overhead: 10 rows must still be way under 10% of 50k rows)
+    assert r1 < r0 * 0.1, f"delta commit rewrote too much: r0={r0} r1={r1}"
+
+
+def test_merge_on_read_patch(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None)], "id long, name string, text string"
+    )
+    store.commit(0, appends={"t": base})
+    patch = spark.createDataFrame([(2, "B-text")], "id long, text string")
+    store.commit(1, patches={"t": (patch, ["id"])})
+    got = {r.id: (r.name, r.text) for r in store.load(spark, "t").collect()}
+    assert got == {1: ("a", None), 2: ("b", "B-text")}
+    # column order preserved
+    assert store.load(spark, "t").columns == ["id", "name", "text"]
+
+
+def test_snapshot_mode_replaces(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, snapshots={"f": spark.range(10)})
+    store.commit(1, snapshots={"f": spark.range(3)})
+    assert store.load(spark, "f").count() == 3
+
+
+def test_compaction_folds_chain_and_patches(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, appends={"t": spark.createDataFrame(
+        [(1, None)], "id long, text string")})
+    store.commit(1, appends={"t": spark.createDataFrame(
+        [(2, None)], "id long, text string")})
+    store.commit(2, patches={"t": (
+        spark.createDataFrame([(1, "x")], "id long, text string"), ["id"])})
+    before = {(r.id, r.text) for r in store.load(spark, "t").collect()}
+    store.compact(spark, "t")
+    m = store.manifest()
+    assert len(m["tables"]["t"]["paths"]) == 1
+    assert m["tables"]["t"]["patch"]["paths"] == []
+    after = {(r.id, r.text) for r in store.load(spark, "t").collect()}
+    assert before == after == {(1, "x"), (2, None)}
+
+
+def test_auto_compaction_bounds_chain(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"), auto_compact_after=3)
+    for i in range(6):
+        store.commit(i, appends={"t": spark.range(i, i + 1)})
+    m = store.manifest()
+    assert len(m["tables"]["t"]["paths"]) <= 4  # folded at least once
+    assert store.load(spark, "t").count() == 6
+
+
+def test_manifest_paths_relative_and_store_relocatable(spark, tmp_path):
+    src = SnapshotStore(str(tmp_path / "src"))
+    src.commit(0, appends={"t": spark.range(7)})
+    with open(src._pointer) as f:
+        m = json.load(f)
+    assert all(not os.path.isabs(p) for p in m["tables"]["t"]["paths"])
+    moved = str(tmp_path / "moved")
+    shutil.copytree(src.root, moved)
+    shutil.rmtree(src.root)  # the original is GONE — no hidden absolute refs
+    assert SnapshotStore(moved).load(spark, "t").count() == 7
