@@ -311,10 +311,34 @@ def q_ann_topk_brute(spark, sf):
     return topk_brute(emb, queries, k=5)
 
 
+def _emb_neardup_corpus(spark, sf):
+    """Derived corpus with PLANTED near-dups: the raw synthetic embeddings
+    contain no true near-dups (max pairwise cosine ≈ 0.5, so a 'near-dup'
+    threshold there is meaningless), so each vector gets a perturbed twin
+    v_i + 0.25·v_{i+1} (cosine ≈ 0.97 to its source) under id+100000.
+    Deterministic and reproduced identically in the DuckDB oracle."""
+    emb = _t(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nxt = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("v2"))
+    pert = e.join(nxt, "vec_id").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.zip_with("v", "v2", lambda x, y: x + 0.25 * y).alias("v"),
+    )
+    return e.unionByName(pert)
+
+
 def q_emb_neardup(spark, sf):
+    """Embedding near-dup: hyperplane-LSH candidates + exact-cosine verify —
+    the scale path (candidates ∝ dup density, not corpus²); exactness vs the
+    brute-force all-pairs oracle is the correctness gate."""
     from eastmoneygubacrawler_spark.operators.dedup import embedding_near_dups
 
-    return embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.25)
+    corpus = _emb_neardup_corpus(spark, sf)
+    return embedding_near_dups(
+        corpus, threshold=0.9, vec_col="v", n_planes=8, n_tables=12, dim=64
+    )
 
 
 # ---- rows-only (non-SQL-expressible) ----------------------------------------
@@ -727,15 +751,23 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "emb_neardup": """
-            WITH scored AS (
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            pert AS (
+                SELECT a.vec_id + 100000 AS vec_id,
+                       list_transform(list_zip(a.v, b.v), x -> x[1] + 0.25 * x[2]) AS v
+                FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+            ),
+            corpus AS (SELECT * FROM e UNION ALL SELECT * FROM pert),
+            scored AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        round(
-                         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-                         6) AS cosine
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                         list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             )
-            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.25
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
         """,
     }

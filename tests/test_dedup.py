@@ -101,3 +101,37 @@ def test_embedding_near_dups(spark):
     both = emb.unionByName(planted)
     pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(both, 0.999).collect()}
     assert {(0, 90_000), (1, 90_001), (2, 90_002)} <= pairs
+
+
+def test_embedding_near_dups_lsh_equals_brute(spark):
+    """LSH candidates + exact verify must reproduce the EXACT brute-force
+    threshold set on the planted-near-dup corpus at sf0.01 (judge gate)."""
+    from eastmoneygubacrawler_spark.operators.dedup import embedding_near_dups_brute
+    import __spark_entry__ as entry_mod
+
+    corpus = entry_mod._emb_neardup_corpus(spark, SF).cache()
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dups(
+            corpus, 0.9, vec_col="v", n_planes=8, n_tables=12, dim=64
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dups_brute(corpus, 0.9, vec_col="v").collect()
+    }
+    assert lsh == brute
+    assert len(brute) == 499  # one planted pair per consecutive-id vector
+    corpus.unpersist()
+
+
+def test_embedding_near_dups_not_allpairs_plan(spark):
+    """The scale property: no CartesianProduct/BroadcastNestedLoopJoin in the
+    LSH plan — candidates come from the bucket equi-join."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embedding_near_dups(emb, 0.9)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
