@@ -10,12 +10,16 @@ Replaces the reference's Mongo compound unique index (core/crawler.py:726-733)
    shuffle-free on the seen side.
 
 2. **Bloom front-filter** (scale path): per-shard numpy bit arrays built
-   distributed via ``applyInPandas``, small enough to broadcast
-   (10^10 keys @1% fp ≈ 12 GB total ⇒ ~1.2 MB per shard at 10^4 shards; the
-   sandbox default is sized for the fixture).  Candidates that miss the bloom
-   are *definitely new* and skip the exact join entirely; bloom hits (a few %
-   false positives) are confirmed by the exact anti-join — false positives
-   cost a lookup, never correctness.
+   distributed via ``applyInPandas`` and kept AS A TABLE of (shard, m, k,
+   bits) blobs — they never transit the driver.  Probing is a cogrouped
+   ``applyInPandas`` on the shard key: each task receives one shard's
+   candidates plus that shard's single blob row, so at 10^10 keys @1% fp
+   (~12 GB of bits across 10^4 shards) each executor holds only the ~1.2 MB
+   shards it probes, and the blob table maps onto a bucketed Iceberg table
+   that recrawl rounds OR-merge incrementally.  Candidates that miss the
+   bloom are *definitely new* and skip the exact join entirely; bloom hits
+   (a few % false positives) are confirmed by the exact anti-join — false
+   positives cost a lookup, never correctness.
 
 Double hashing from the single xxhash64 key: index_i = (h1 + i*h2) mod m —
 standard Kirsch–Mitzenmacher construction, fully vectorized in numpy.
@@ -68,8 +72,12 @@ def _bloom_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
 
 def build_bloom_shards(
     seen: DataFrame, n_shards: int, keys_per_shard: int = 200_000, fpp: float = 0.01
-) -> dict:
-    """Build {shard: (m, k, bits_bytes)} distributed, one task per shard."""
+) -> DataFrame:
+    """Bloom blob TABLE (shard, m, k, bits) built distributed, one task per
+    shard.  The blobs stay executor-side for their whole life: built here,
+    shuffled once into the cogrouped probe — the driver never holds them
+    (at the 10^10-key sizing that would be ~12 GB through the driver heap).
+    """
     m, k = _bloom_params(keys_per_shard, fpp)
     n_words = m // 64
 
@@ -78,57 +86,67 @@ def build_bloom_shards(
         pos = _bloom_positions(pdf["url_hash"].to_numpy(np.int64), m, k).ravel()
         np.bitwise_or.at(bits, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
         return pd.DataFrame(
-            {"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]}
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "m": [m],
+                "k": [k],
+                "bits": [bits.tobytes()],
+            }
         )
 
-    rows = (
+    return (
         with_shard(seen.select("url_hash"), n_shards)
         .groupBy("shard")
-        .applyInPandas(_build, "shard int, bits binary")
-        .collect()
+        .applyInPandas(_build, "shard int, m long, k int, bits binary")
     )
-    return {r["shard"]: (m, k, r["bits"]) for r in rows}
 
 
-def bloom_maybe_seen(df: DataFrame, shards: dict, n_shards: int) -> DataFrame:
-    """Adds ``maybe_seen`` bool from the broadcast bloom shards.
+def bloom_maybe_seen(df: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
+    """Adds ``maybe_seen`` bool by cogrouping candidates with the blob table
+    on the shard key — each task gets one shard's candidates + its one blob.
 
     Rows with maybe_seen == false are guaranteed-new (no false negatives);
-    only maybe_seen rows need the exact anti-join.
+    only maybe_seen rows need the exact anti-join.  An absent blob row means
+    the shard holds no seen keys ⇒ definitely unseen.
     """
-    if not shards:
-        return df.withColumn("maybe_seen", F.lit(False))
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(shards)
+    from pyspark.sql.types import StructField, StructType
 
-    @F.pandas_udf(BooleanType())
-    def _probe(url_hash: pd.Series) -> pd.Series:
-        local = bc.value
-        h = url_hash.to_numpy(np.int64)
-        out = np.zeros(len(h), dtype=bool)
-        shard_ids = np.mod(h, n_shards)
-        shard_ids = np.where(shard_ids < 0, shard_ids + n_shards, shard_ids)
-        for s in np.unique(shard_ids):
-            entry = local.get(int(s))
-            idx = np.where(shard_ids == s)[0]
-            if entry is None:
-                continue  # empty shard: definitely unseen
-            m, k, raw = entry
-            bits = np.frombuffer(raw, dtype=np.uint64)
-            pos = _bloom_positions(h[idx], m, k)
-            hit = np.ones(len(idx), dtype=bool)
+    added_shard = "shard" not in df.columns
+    cand = with_shard(df, n_shards) if added_shard else df
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _probe(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        h = cdf["url_hash"].to_numpy(np.int64)
+        if len(bdf) == 0:
+            hit = np.zeros(len(h), dtype=bool)
+        else:
+            m = int(bdf["m"].iloc[0])
+            k = int(bdf["k"].iloc[0])
+            bits = np.frombuffer(bdf["bits"].iloc[0], dtype=np.uint64)
+            pos = _bloom_positions(h, m, k)
+            hit = np.ones(len(h), dtype=bool)
             for j in range(k):
                 p = pos[:, j]
                 hit &= (bits[(p >> np.uint64(6)).astype(np.int64)]
                         >> (p & np.uint64(63))) & np.uint64(1) == 1
-            out[idx] = hit
-        return pd.Series(out)
+        out = cdf.copy()
+        out["maybe_seen"] = hit
+        if added_shard:
+            out = out.drop(columns=["shard"])
+        return out[out_cols]
 
-    return df.withColumn("maybe_seen", _probe(F.col("url_hash")))
+    return (
+        cand.groupBy("shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(_probe, out_schema)
+    )
 
 
 def filter_unseen_with_bloom(
-    candidates: DataFrame, seen: DataFrame | None, shards: dict, n_shards: int
+    candidates: DataFrame, seen: DataFrame | None, shards: DataFrame, n_shards: int
 ) -> DataFrame:
     """Full two-layer dedup: bloom front-filter, exact confirm of survivors."""
     if seen is None:
