@@ -125,6 +125,27 @@ def q_x3_list_urls(spark, sf):
     )
 
 
+def q_x16_ip_scrape(spark, sf):
+    """X16 free-proxy IP scraper (core/proxy_manager.py:373-374): regex-
+    extract every ip:port (incl. fullwidth colon) from synthetic page text."""
+    from eastmoneygubacrawler_spark.functions.signing import extract_ip_ports
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    text = F.format_string(
+        "host%d 10.%d.%d.%d:%d and 172.16.%d.%d：%d noise 1.2.3 bad:port",
+        k,
+        F.pmod(k, F.lit(256)), F.pmod(k * 7, F.lit(256)),
+        F.pmod(k * 13, F.lit(256)), F.pmod(k, F.lit(9000)) + 1000,
+        F.pmod(k * 3, F.lit(256)), F.pmod(k * 5, F.lit(256)),
+        F.pmod(k, F.lit(60000)) + 1,
+    )
+    return o.filter(k < 500).select(
+        "o_orderkey",
+        F.array_join(extract_ip_ports(text), ",").alias("ips"),
+    )
+
+
 def q_x9_year_infer(spark, sf):
     from eastmoneygubacrawler_spark.operators.year_infer import infer_year
 
@@ -168,19 +189,38 @@ def q_j4_horizon(spark, sf):
 
 
 def q_o_crawl_rank(spark, sf):
+    """O1-O4 composite crawl rank — two-phase distributed global_row_number
+    (operators/order.py): no single-partition Window funnel anywhere in the
+    plan (asserted in tests/test_order.py)."""
+    from eastmoneygubacrawler_spark.operators.order import global_row_number
+
     o = _t(spark, sf, "orders")
-    w = Window.orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.row_number().over(w).cast("long").alias("crawl_rank"),
+    ranked = global_row_number(
+        o,
+        ["o_orderpriority", "o_orderdate", "o_orderkey"],
+        out_col="crawl_rank",
+        n_partitions=16,
     )
+    return ranked.select("o_orderkey", F.col("crawl_rank").cast("long"))
 
 
 def q_a7_top_half_pool(spark, sf):
+    """A7 top-half-by-score pool — distributed percent_rank built from the
+    two-phase rank: pr = (rn-1)/(N-1) (keys are unique so rank == row_number,
+    matching SQL percent_rank exactly) with N taken as a scalar, keeping the
+    main plan free of single-partition exchanges."""
+    from eastmoneygubacrawler_spark.operators.order import global_row_number
+
     s = _t(spark, sf, "supplier")
-    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    n = s.count()
+    ranked = global_row_number(
+        s,
+        [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()],
+        out_col="rn",
+        n_partitions=16,
+    )
     return (
-        s.withColumn("pr", F.percent_rank().over(w))
+        ranked.withColumn("pr", (F.col("rn") - 1) / F.lit(n - 1))
         .filter(F.col("pr") <= 0.5)
         .groupBy("s_nationkey")
         .agg(F.count("*").alias("n_top"))
@@ -345,7 +385,9 @@ def q_emb_neardup(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    """LSH-banded near-dup pairs (scale path); verified exact-subset in tests."""
+    """LSH-banded near-dup pairs (scale path) — the banded construction is
+    pure md5, so it now has a full DuckDB oracle (_sql_minhash_lsh) in
+    addition to the exact-subset tests."""
     from eastmoneygubacrawler_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf, "documents"), k=16, bands=8, n=3, threshold=0.2)
@@ -413,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_url_id": q_x5_url_id,
         "x3_list_urls": q_x3_list_urls,
         "x9_year_infer": q_x9_year_infer,
+        "x16_ip_scrape": q_x16_ip_scrape,
         "j1_seen_antijoin": q_j1_seen_antijoin,
         "j4_horizon": q_j4_horizon,
         "o_crawl_rank": q_o_crawl_rank,
@@ -425,12 +468,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "text_quality": q_text_quality,
         "ann_topk_brute": q_ann_topk_brute,
         "emb_neardup": q_emb_neardup,
-        # rows-only (no oracle): stateful / approximate / fixture-driven
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # rows-only (no oracle): approximate / stateful / fixture-driven
         "ann_topk_lsh": q_ann_topk_lsh,
         "crawl_fixture_round": q_crawl_fixture_round,
         "multimodal_features": q_multimodal_features,
@@ -469,6 +512,47 @@ def _sql_minhash(k: int = 8) -> str:
         WITH {_sql_shingles(3)}
         SELECT doc_id, {aggs}
         FROM sh GROUP BY doc_id
+    """
+
+
+def _sql_minhash_lsh(k: int = 16, bands: int = 8, threshold: float = 0.2) -> str:
+    """Banded MinHash LSH + exact-Jaccard verify — the exact DuckDB mirror of
+    operators/dedup.minhash_lsh_pairs (bucket = md5 of '|'-joined band
+    signature; candidates = bucket-mates; verify on candidates only)."""
+    r = k // bands
+    aggs = ",\n               ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_sql_shingles(3)},
+        sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id),
+        buckets AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT c.id_a, c.id_b, count(*) AS shared
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               round(shared * 1.0 / (na.n_sh + nb.n_sh - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE shared * 1.0 / (na.n_sh + nb.n_sh - shared) >= {threshold}
     """
 
 
@@ -600,6 +684,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2026 - coalesce(decr, 0) AS VARCHAR) || '-' || raw AS publish_time
             FROM d
         """,
+        "x16_ip_scrape": """
+            SELECT o_orderkey,
+                   array_to_string(
+                     regexp_extract_all(
+                       printf('host%d 10.%d.%d.%d:%d and 172.16.%d.%d：%d noise 1.2.3 bad:port',
+                              o_orderkey,
+                              o_orderkey % 256, (o_orderkey * 7) % 256,
+                              (o_orderkey * 13) % 256, (o_orderkey % 9000) + 1000,
+                              (o_orderkey * 3) % 256, (o_orderkey * 5) % 256,
+                              (o_orderkey % 60000) + 1),
+                       '\\d+\\.\\d+\\.\\d+\\.\\d+[:：]\\d+'),
+                     ',') AS ips
+            FROM orders WHERE o_orderkey < 500
+        """,
         "j1_seen_antijoin": """
             SELECT l_returnflag, count(*) AS n_new FROM lineitem
             WHERE NOT EXISTS (
@@ -724,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE shared * 1.0 / (na.n_sh + nb.n_sh - shared) >= 0.2
         """,
         "dedup_minhash_sig": _sql_minhash(8),
+        "dedup_minhash_lsh": _sql_minhash_lsh(16, 8, 0.2),
         "dedup_simhash": _sql_simhash(),
         "text_quality": _sql_text_quality(),
         "ann_topk_brute": """

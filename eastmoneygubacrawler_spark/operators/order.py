@@ -8,8 +8,11 @@ standard two-phase construction keeps the same deterministic result:
 1. range-partition rows by the order key (repartitionByRange — Spark samples
    the key distribution, so skew is bounded),
 2. rank within each partition (cheap, local),
-3. add the exclusive prefix-sum of partition sizes (tiny driver-side array,
-   broadcast back via join on partition id).
+3. add the exclusive prefix-sum of partition sizes — computed with a P×P
+   self-join over the (one-row-per-partition) size table, so the WHOLE plan
+   is free of Exchange SinglePartition (a global window over the sizes,
+   though tiny, would reintroduce the very pattern this module removes and
+   trip the plan audit), then broadcast back via join on partition id.
 
 Used for ``crawl_seq`` — the reference's implicit global insertion order
 (Mongo _id order of core/crawler.py:818-827 under its sequential loop).
@@ -28,19 +31,28 @@ def global_row_number(
     start: int = 1,
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """Deterministic global 1-based rank over ``order_cols``, distributed."""
-    sort_cols = [F.col(c).asc_nulls_last() for c in order_cols]
+    """Deterministic global 1-based rank over ``order_cols``, distributed.
+
+    ``order_cols`` entries may be column names (sorted asc_nulls_last) or
+    ready sort Columns (e.g. ``F.col("x").desc()``)."""
+    sort_cols = [
+        F.col(c).asc_nulls_last() if isinstance(c, str) else c for c in order_cols
+    ]
     n_partitions = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_partitions, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
-    # partition sizes → exclusive prefix sums (tiny: one row per partition)
+    # partition sizes → exclusive prefix sums via a P×P self-join (P = one
+    # row per partition, so this is tiny) — no Exchange SinglePartition
     sizes = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
-    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn(
-        "_offset", F.coalesce(F.sum("_n").over(w), F.lit(0))
-    ).select("_pid", "_offset")
+    a = sizes.select(F.col("_pid"))
+    b = sizes.select(F.col("_pid").alias("_pid2"), F.col("_n").alias("_n2"))
+    offsets = (
+        a.join(F.broadcast(b), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_n2"), F.lit(0)).alias("_offset"))
+    )
 
     w_local = Window.partitionBy("_pid").orderBy(*sort_cols)
     out = (

@@ -49,6 +49,16 @@ def assert_read_schema_only(df: DataFrame, allowed: set[str]) -> None:
     raise AssertionError(f"no ReadSchema in plan:\n{plan}")
 
 
+def assert_no_single_partition_exchange(df: DataFrame) -> None:
+    """No Exchange SinglePartition anywhere: the driver-funnel pattern (a
+    global Window/sort pulling every row through one task) must not appear —
+    use operators/order.global_row_number for global ranks instead."""
+    plan = explain_str(df)
+    assert "Exchange SinglePartition" not in plan, (
+        f"single-partition exchange (driver funnel) in plan:\n{plan}"
+    )
+
+
 def assert_no_row_udf(df: DataFrame) -> None:
     """Hot-path plans must contain no row-at-a-time Python UDF (BatchEvalPython);
     ArrowEvalPython (pandas UDFs) is the sanctioned extension point."""
