@@ -119,8 +119,14 @@ def run_crawl(
     robots: DataFrame | None = None,
     politeness: DataFrame | None = None,
     cfg: CrawlConfig | None = None,
+    fetcher=None,
 ) -> dict:
-    """Run one crawl round; commits state atomically; returns metrics."""
+    """Run one crawl round; commits state atomically; returns metrics.
+
+    ``fetcher`` defaults to the FixtureFetcher join against ``pages``; pass an
+    engine.fetch.HttpFetcher to crawl over real HTTP (same interface —
+    tests/test_fetch.py proves posts-output equality over a loopback server).
+    """
     cfg = cfg or CrawlConfig()
     t0 = time.time()
     phase_t: dict = {}
@@ -134,9 +140,10 @@ def run_crawl(
     posts_prev = store.load(spark, "posts")
     seen_prev = store.load(spark, "seen")
 
-    from .fetch import FixtureFetcher
+    if fetcher is None:
+        from .fetch import FixtureFetcher
 
-    fetcher = FixtureFetcher(pages, broadcast_scheduled=cfg.broadcast_fetch)
+        fetcher = FixtureFetcher(pages, broadcast_scheduled=cfg.broadcast_fetch)
 
     # per-host politeness budgets derived from the config table (P1/P2/P5)
     list_budgets = text_budgets = None

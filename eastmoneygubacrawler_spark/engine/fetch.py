@@ -66,19 +66,104 @@ class FixtureFetcher:
 
 
 class HttpFetcher:
-    """Real-network fetch via mapInPandas + requests; NOT available in the
-    sandbox (no network).  Kept as the documented production seam: per-host
-    partitions (salted_repartition) each run a token-bucket-paced session,
-    matching the reference's politeness knobs (delay, QPS, per-host
-    concurrency — BASELINE.md)."""
+    """Real-network fetch: ``mapInPandas`` over host-partitioned URL batches,
+    token-bucket-paced per host inside each worker (the reference's
+    AsyncHttpClient politeness knobs, archive/full_text_CrawlerAsync.py:64-143
+    + the per-host delay of core/scheduler.py:245).
 
-    def __init__(self, politeness: DataFrame | None = None, timeout_s: float = 10.0):
-        self.politeness = politeness
+    Plan shape: the (small) per-host politeness table broadcast-joins onto the
+    scheduled batch so each row carries its ``delay_s``; rows then repartition
+    by host, so one task owns each host's stream and a plain monotonic-clock
+    token bucket enforces the minimum inter-request interval — per-host
+    concurrency 1, exactly the reference's sequential per-host loop.  Fetches
+    are stdlib ``urllib`` (no extra deps); a failed/timeout fetch yields
+    html = null, which the engine already treats as a fetch miss feeding the
+    R1-R5 retry budget.
+
+    Exercised against a loopback HTTP server in tests/test_fetch.py — same
+    posts output as the FixtureFetcher join on the same corpus.
+    """
+
+    def __init__(
+        self,
+        politeness: DataFrame | None = None,
+        timeout_s: float = 10.0,
+        n_partitions: int = 32,
+        user_agent: str = "eastmoneygubacrawler-spark/1.0",
+        url_rewrite=None,
+    ):
+        """``url_rewrite``: optional callable url→request-url applied
+        worker-side just before the request (rows keep their logical url) —
+        the front-proxy/cache knob, and how tests route guba URLs to a
+        loopback server."""
+        self.politeness = (
+            politeness.select("host", "delay_s") if politeness is not None else None
+        )
         self.timeout_s = timeout_s
+        self.n_partitions = n_partitions
+        self.user_agent = user_agent
+        self.url_rewrite = url_rewrite
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
-        raise NotImplementedError(
-            "network fetch is stubbed in the sandbox; use FixtureFetcher"
+        """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed)."""
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        from ..functions import urls as U
+
+        sched = scheduled
+        if "host" not in sched.columns:
+            sched = sched.withColumn("host", U.url_host(F.col("url")))
+        added_delay = "delay_s" not in sched.columns
+        if added_delay:
+            if self.politeness is not None:
+                sched = sched.join(F.broadcast(self.politeness), on="host", how="left")
+            else:
+                sched = sched.withColumn("delay_s", F.lit(None).cast("double"))
+
+        out_schema = StructType(
+            list(scheduled.schema.fields)
+            + ([StructField("host", sched.schema["host"].dataType)]
+               if "host" not in scheduled.columns else [])
+            + [StructField("html", BinaryType())]
+        )
+        out_cols = [f.name for f in out_schema.fields]
+        timeout_s = self.timeout_s
+        user_agent = self.user_agent
+        url_rewrite = self.url_rewrite
+
+        def _fetch(batches):
+            import time as _time
+            import urllib.request
+
+            import pandas as pd
+
+            next_ok: dict = {}  # host -> earliest next fetch (monotonic)
+            for pdf in batches:
+                htmls = []
+                for url, host, delay in zip(
+                    pdf["url"], pdf["host"], pdf["delay_s"]
+                ):
+                    d = 0.0 if delay is None or pd.isna(delay) else float(delay)
+                    wait = next_ok.get(host, 0.0) - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+                    next_ok[host] = _time.monotonic() + d
+                    try:
+                        req = urllib.request.Request(
+                            url_rewrite(url) if url_rewrite else url,
+                            headers={"User-Agent": user_agent},
+                        )
+                        with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                            htmls.append(r.read())
+                    except Exception:
+                        htmls.append(None)
+                out = pdf.copy()
+                out["html"] = htmls
+                yield out[out_cols]
+
+        return (
+            sched.repartition(self.n_partitions, F.col("host"))
+            .mapInPandas(_fetch, out_schema)
         )
 
 
