@@ -98,6 +98,11 @@ def _seed_ranks(
             else F.col("stock_code") <= cursor
         )
     order = F.col("stock_code").asc() if crawl_order == "asc" else F.col("stock_code").desc()
+    # global window is intentional here: the seed list is the ONE bounded
+    # input (~5k stock codes, reference core/stock_loader.py) — at that size
+    # a single-partition rank is cheaper than the two-phase
+    # operators/order.global_row_number, which the engine uses for the
+    # unbounded tables (crawl_seq over posts)
     w = Window.orderBy(order)
     return codes.withColumn("host_rank", F.row_number().over(w).cast("long") - 1)
 

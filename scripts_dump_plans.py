@@ -48,6 +48,29 @@ def main() -> None:
     )
     sections.append(("Byte-identity text extraction (ArrowEvalPython)", explain_str(ext)))
 
+    # 4. two-phase distributed global rank (no Exchange SinglePartition)
+    from eastmoneygubacrawler_spark.operators.order import global_row_number
+
+    ranked = global_row_number(
+        pages.select("url", "warc_ts"), ["warc_ts", "url"],
+        out_col="rank", n_partitions=8,
+    )
+    sections.append((
+        "Two-phase global rank (operators/order.py) — zero Exchange SinglePartition",
+        explain_str(ranked),
+    ))
+
+    # 5. LSH embedding near-dup — bucket equi-join candidates, no cross join
+    from eastmoneygubacrawler_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nd = embedding_near_dups(emb, threshold=0.9)
+    sections.append((
+        "LSH embedding near-dup — candidates from bucket equi-join "
+        "(no CartesianProduct), exact cosine verify on candidates only",
+        explain_str(nd),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — flagship physical plans (`.explain(\"formatted\")`)\n\n"
