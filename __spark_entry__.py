@@ -146,6 +146,37 @@ def q_x16_ip_scrape(spark, sf):
     )
 
 
+def q_s8_proxy_sources(spark, sf):
+    """S8 config-driven multi-source proxy sweep (core/proxy_manager.py:
+    124-160,275-388): three source kinds — json 'data' items with numeric
+    ports, json 'proxies' items with host+string ports, free-text pages
+    scraped by the X16 regex — parsed by one Catalyst plan."""
+    from eastmoneygubacrawler_spark.operators.proxy_sources import (
+        parse_proxy_payloads,
+    )
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    a, b_, p = F.pmod(k, F.lit(256)), F.pmod(k * 11, F.lit(256)), F.pmod(k, F.lit(60000)) + 1
+    body = (
+        F.when(
+            k % 3 == 0,
+            F.format_string('{"data":[{"ip":"10.0.%d.%d","port":%d}]}', a, b_, p),
+        )
+        .when(
+            k % 3 == 1,
+            F.format_string('{"proxies":[{"host":"11.1.%d.%d","port":"%d"}]}', a, b_, p),
+        )
+        .otherwise(F.format_string("free proxy 12.2.%d.%d:%d end", a, b_, p))
+    )
+    fetched = o.filter(k < 300).select(
+        F.concat(F.lit("src"), (k % 3).cast("string")).alias("name"),
+        F.when(k % 3 == 2, F.lit("text")).otherwise(F.lit("json")).alias("kind"),
+        body.alias("body"),
+    )
+    return parse_proxy_payloads(fetched)
+
+
 def q_x9_year_infer(spark, sf):
     from eastmoneygubacrawler_spark.operators.year_infer import infer_year
 
@@ -456,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_list_urls": q_x3_list_urls,
         "x9_year_infer": q_x9_year_infer,
         "x16_ip_scrape": q_x16_ip_scrape,
+        "s8_proxy_sources": q_s8_proxy_sources,
         "j1_seen_antijoin": q_j1_seen_antijoin,
         "j4_horizon": q_j4_horizon,
         "o_crawl_rank": q_o_crawl_rank,
@@ -697,6 +729,22 @@ def oracle_sql() -> dict[str, str]:
                        '\\d+\\.\\d+\\.\\d+\\.\\d+[:：]\\d+'),
                      ',') AS ips
             FROM orders WHERE o_orderkey < 500
+        """,
+        "s8_proxy_sources": """
+            SELECT DISTINCT 'src0' AS source,
+                   printf('10.0.%d.%d:%d', o_orderkey % 256,
+                          (o_orderkey * 11) % 256, (o_orderkey % 60000) + 1) AS proxy
+            FROM orders WHERE o_orderkey < 300 AND o_orderkey % 3 = 0
+            UNION
+            SELECT DISTINCT 'src1' AS source,
+                   printf('11.1.%d.%d:%d', o_orderkey % 256,
+                          (o_orderkey * 11) % 256, (o_orderkey % 60000) + 1) AS proxy
+            FROM orders WHERE o_orderkey < 300 AND o_orderkey % 3 = 1
+            UNION
+            SELECT DISTINCT 'src2' AS source,
+                   printf('12.2.%d.%d:%d', o_orderkey % 256,
+                          (o_orderkey * 11) % 256, (o_orderkey % 60000) + 1) AS proxy
+            FROM orders WHERE o_orderkey < 300 AND o_orderkey % 3 = 2
         """,
         "j1_seen_antijoin": """
             SELECT l_returnflag, count(*) AS n_new FROM lineitem
