@@ -145,6 +145,7 @@ def scaling_worker(cores: int, corpus_dir: str) -> None:
     cfg = CrawlConfig(
         n_shards=64, fetch_partitions=cores * 2, use_bloom=False, max_depth=1,
         broadcast_fetch=os.environ.get("EGS_FETCH_BROADCAST", "0") == "1",
+        text_fetch_mode=os.environ.get("EGS_TEXT_FETCH", "join"),
     )
     # iterations over fresh stores: iteration 1 warms the page cache /
     # codegen; best of the rest is the steady-state measurement (single-box

@@ -59,6 +59,12 @@ class CrawlConfig:
     # shuffles) vs sort-merge (for unbounded batches, where the driver-side
     # broadcast build would serialize)
     broadcast_fetch: bool = True
+    # depth-1 text strategy: "join" = fetch join then extract (html crosses
+    # the exchange on the SMJ path); "scan_extract" = bloom-pruned scan with
+    # the extraction fused INTO the scan stage — html never shuffles, only
+    # the small text rows do (the unbounded-batch 100 TB path; see
+    # engine/fetch.scan_extract)
+    text_fetch_mode: str = "join"
     # F2 resume cursor (core/scheduler.py:206-217): only seeds >= start_code
     # (asc) / <= start_code (desc) are crawled this round
     start_code: str | None = None
@@ -455,22 +461,40 @@ def run_crawl(
             d1_cand, text_budget, host_budgets=text_budgets
         )
         unscheduled = d1_cand.join(scheduled.select("url"), "url", "left_anti")
-        fetched_posts = (
-            fetcher.fetch(
-                scheduled.repartition(cfg.fetch_partitions, F.col("host"), F.col("salt"))
-            )
-            .withColumn("partition_id", F.spark_partition_id())
-            .withColumn("e", extract_text_udf(F.col("url"), F.col("html")))
-            .select(
-                "url", "url_hash", "host", "salt", "partition_id", "attempts",
-                "host_rank", "type_rank", "page", "item_seq",
-                F.length(F.col("html")).cast("long").alias("bytes"),
+        if cfg.text_fetch_mode == "scan_extract":
+            from .fetch import scan_extract
+
+            fe = scan_extract(pages, scheduled, extract_text_udf)
+            fetched_posts = fe.select(
+                "url", "url_hash", "host", "salt",
+                F.coalesce(F.col("partition_id"), F.lit(-1)).alias("partition_id"),
+                "attempts", "host_rank", "type_rank", "page", "item_seq",
+                F.col("bytes"),
                 F.col("e.text").alias("full_text"),
                 F.col("e.post_time").alias("full_text_time"),
-                F.col("e.status").alias("extract_status"),
+                # a scheduled url absent from pages never left the scan:
+                # null struct ⇒ fetch miss, same as the join path's null html
+                F.coalesce(F.col("e.status"), F.lit("no_html")).alias("extract_status"),
+            ).cache()
+        else:
+            fetched_posts = (
+                fetcher.fetch(
+                    scheduled.repartition(
+                        cfg.fetch_partitions, F.col("host"), F.col("salt")
+                    )
+                )
+                .withColumn("partition_id", F.spark_partition_id())
+                .withColumn("e", extract_text_udf(F.col("url"), F.col("html")))
+                .select(
+                    "url", "url_hash", "host", "salt", "partition_id", "attempts",
+                    "host_rank", "type_rank", "page", "item_seq",
+                    F.length(F.col("html")).cast("long").alias("bytes"),
+                    F.col("e.text").alias("full_text"),
+                    F.col("e.post_time").alias("full_text_time"),
+                    F.col("e.status").alias("extract_status"),
+                )
+                .cache()
             )
-            .cache()
-        )
         lineage_frames.append(
             fetched_posts.groupBy("partition_id", "host")
             .agg(

@@ -13,6 +13,7 @@ the worker — the reference's AsyncHttpClient, archive/full_text_CrawlerAsync
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,6 +64,77 @@ class FixtureFetcher:
             self.pages.select("url"), on="url", how="left_anti"
         ).withColumn("html", F.lit(None).cast("binary"))
         return hits.unionByName(misses)
+
+
+def scan_extract(
+    pages: DataFrame,
+    scheduled: DataFrame,
+    extract_udf,
+    bloom_capacity: int = 4_000_000,
+    bloom_fpp: float = 0.01,
+) -> DataFrame:
+    """Fused fetch+extract for UNBOUNDED batches — html never shuffles.
+
+    The shuffle-join fetch moves every page's html bytes through the exchange
+    (the memory-bandwidth hog at batch ≈ corpus); the broadcast fetch caps the
+    batch size at what the driver can serialize.  This third strategy covers
+    the unbounded case with a bounded broadcast:
+
+    1. a bloom filter over the scheduled url hashes (built from ONE Arrow
+       column transfer, ~8 bytes/url — bounded and tiny next to the html it
+       saves; ~2.4 MB of bits at the default capacity) broadcast into a
+       pandas-UDF predicate that prunes the pages SCAN,
+    2. the extraction UDF runs INSIDE the scan stage on the surviving rows —
+       html is consumed where it is read and never crosses an exchange,
+    3. only the small extracted struct joins back to ``scheduled`` (left join
+       from the scheduled side, so fetch misses surface as null extract
+       columns exactly like the join fetch; bloom false positives are dropped
+       here — they cost a wasted extract, never correctness).
+
+    Returns ``scheduled`` + ``e`` (the extract struct, null ⇒ fetch miss) +
+    ``partition_id`` (scan-stage lineage).
+    """
+    import numpy as np
+
+    from ..functions import urls as U
+    from ..operators.seen import _bloom_params, _bloom_positions
+
+    # one slim Arrow transfer: the url-hash column only (never rows/html)
+    hashes = scheduled.select("url_hash").toPandas()["url_hash"].to_numpy("int64")
+    m, k = _bloom_params(max(bloom_capacity, len(hashes)), bloom_fpp)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    pos = _bloom_positions(hashes, m, k).ravel()
+    np.bitwise_or.at(bits, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
+    bc = scheduled.sparkSession.sparkContext.broadcast(bits.tobytes())
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _might_contain(url_hash: pd.Series) -> pd.Series:
+        import numpy as np
+
+        blob = np.frombuffer(bc.value, dtype=np.uint64)
+        h = url_hash.to_numpy("int64")
+        p = _bloom_positions(h, m, k)
+        hit = np.ones(len(h), dtype=bool)
+        for j in range(k):
+            pj = p[:, j]
+            hit &= (blob[(pj >> np.uint64(6)).astype(np.int64)]
+                    >> (pj & np.uint64(63))) & np.uint64(1) == 1
+        return pd.Series(hit)
+
+    extracted = (
+        pages.select("url", "html")
+        .withColumn("url_hash", U.url_hash(F.col("url")))
+        .filter(_might_contain(F.col("url_hash")))
+        .select(
+            "url",
+            extract_udf(F.col("url"), F.col("html")).alias("e"),
+            F.length(F.col("html")).cast("long").alias("bytes"),
+            F.spark_partition_id().alias("partition_id"),
+        )
+    )
+    return scheduled.join(extracted, on="url", how="left")
 
 
 class HttpFetcher:

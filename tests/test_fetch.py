@@ -198,3 +198,39 @@ def test_full_crawl_round_over_http_equals_fixture(spark, tmp_path):
         assert len(via_http) > 0
     finally:
         lb.close()
+
+
+def test_scan_extract_mode_equals_join_mode(spark, tmp_path):
+    """The fused scan-extract text path (html never shuffles) must commit the
+    exact same store state as the default fetch-join path."""
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    corpus = build_corpus(FixtureConfig(n_stocks=2, max_count=60, adversarial=True))
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+
+    def run(mode, name):
+        store = SnapshotStore(str(tmp_path / name))
+        cfg = CrawlConfig(
+            n_shards=8, fetch_partitions=4, use_bloom=False, max_depth=1,
+            text_fetch_mode=mode,
+        )
+        run_crawl(spark, store, pages, seeds, robots, None, cfg)
+        posts = sorted(
+            map(tuple, store.load(spark, "posts").select(
+                "stock_code", "content_type", "url_id", "crawl_seq",
+                "full_text", "full_text_time",
+            ).collect())
+        )
+        seen = sorted(r.url for r in store.load(spark, "seen").collect())
+        frontier = sorted(
+            map(tuple, store.load(spark, "frontier").select(
+                "url", "depth", "status", "attempts").collect())
+        )
+        return posts, seen, frontier
+
+    assert run("scan_extract", "scan") == run("join", "join")
