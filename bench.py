@@ -166,10 +166,11 @@ def scaling_worker(cores: int, corpus_dir: str) -> None:
     spark.stop()
 
 
-def _ensure_bigcorpus(n_stocks: int, items_per_type: int) -> str:
+def _ensure_bigcorpus(n_stocks: int, items_per_type: int, pad: int = 0) -> str:
     """Build (or reuse) the distributed big fixture corpus on tmpfs."""
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    corpus_dir = f"{shm}/egs_bigcorpus_{n_stocks}_{items_per_type}"
+    suffix = f"_{pad}" if pad else ""
+    corpus_dir = f"{shm}/egs_bigcorpus_{n_stocks}_{items_per_type}{suffix}"
     if not os.path.exists(f"{corpus_dir}/pages.parquet/_SUCCESS"):
         from eastmoneygubacrawler_spark.fixtures.bigcorpus import build_big_corpus
         from eastmoneygubacrawler_spark.session import get_spark
@@ -177,7 +178,8 @@ def _ensure_bigcorpus(n_stocks: int, items_per_type: int) -> str:
         spark = get_spark("egs-corpusgen", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
         spark.sparkContext.setLogLevel("ERROR")
-        info = build_big_corpus(spark, n_stocks, items_per_type, corpus_dir)
+        info = build_big_corpus(spark, n_stocks, items_per_type, corpus_dir,
+                                post_pad_bytes=pad)
         print(json.dumps({"corpus": info}), file=sys.stderr)
         spark.stop()
     return corpus_dir

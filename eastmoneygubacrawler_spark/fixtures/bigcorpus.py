@@ -70,9 +70,16 @@ def _canonical(stock: str, item: dict) -> str:
 
 
 def build_big_corpus(
-    spark: SparkSession, n_stocks: int, items_per_type: int, out_dir: str
+    spark: SparkSession, n_stocks: int, items_per_type: int, out_dir: str,
+    post_pad_bytes: int = 0,
 ) -> dict:
-    """Writes pages.parquet / seeds.parquet / robots.parquet under out_dir."""
+    """Writes pages.parquet / seeds.parquet / robots.parquet under out_dir.
+
+    ``post_pad_bytes``: append ~that many bytes of INCOMPRESSIBLE base64
+    noise to every post page, inside a display:none div that extraction
+    never selects (post_content/article-body win the cascade first) — the
+    fat-html regime of real web pages (50-200 KB), for measuring shuffle-
+    bytes-dominated fetch strategies at realistic html:text ratios."""
     total_count = items_per_type
 
     stocks = spark.range(n_stocks).select(
@@ -130,6 +137,17 @@ def build_big_corpus(
                 else:
                     html = guba_post_html(pub, paras, variant="post_content")
                     text = guba_expected_text(paras)
+                if post_pad_bytes:
+                    import base64
+
+                    import numpy as np
+
+                    noise = base64.b64encode(
+                        np.random.default_rng(
+                            abs(hash(url)) % (2**32)
+                        ).bytes(post_pad_bytes * 3 // 4)
+                    ).decode("ascii")
+                    html += f'<div style="display:none">{noise}</div>'
                 out.append((url, html.encode("utf-8"), text))
             yield pd.DataFrame(out, columns=["url", "html", "text"])
 
