@@ -53,6 +53,11 @@ class CrawlConfig:
     apply_robots: bool = True
     use_bloom: bool = True
     bloom_fpp: float = 0.01
+    # approximate-membership front-filter flavor: "bloom" (default) or
+    # "cuckoo" (north-star structure: delete-capable, ~1 byte/key at 95%
+    # load — operators/cuckoo.py); both share the cogrouped probe shape and
+    # the exact anti-join confirms suspects either way
+    seen_filter: str = "bloom"
     max_waves: int = 64
     max_depth: int = 2  # 0=list only, 1=+post text, 2=+paginated comments
     # fetch join strategy: broadcast the politeness-bounded batch (html never
@@ -445,7 +450,14 @@ def run_crawl(
         # seen gate: bloom front-filter + exact anti-join (previously
         # extracted URLs never refetched)
         if seen_prev is not None:
-            if cfg.use_bloom:
+            if cfg.use_bloom and cfg.seen_filter == "cuckoo":
+                from ..operators import cuckoo as CK
+
+                shards = CK.build_cuckoo_shards(seen_prev, cfg.n_shards)
+                d1_cand = CK.filter_unseen_with_cuckoo(
+                    d1_cand, seen_prev, shards, cfg.n_shards
+                )
+            elif cfg.use_bloom:
                 shards = SE.build_bloom_shards(
                     seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp
                 )

@@ -1,0 +1,218 @@
+"""Partitioned cuckoo-filter URL-seen set (the north star's literal ask).
+
+Same two-layer role as the bloom front-filter in ``seen.py`` — a compact
+approximate membership structure per shard, probed executor-side, with the
+exact anti-join confirming suspects — but a cuckoo filter instead of a bloom:
+
+- **supports deletes** (a bloom cannot): retired URLs (e.g. purged hosts) can
+  be removed without rebuilding the shard,
+- comparable space at low fpp (8-bit fingerprints, 4 slots/bucket ⇒ ~1 byte
+  per key at 95% load), and ~3% worst-case fp at this geometry,
+- **no false negatives**, same as bloom — the correctness-critical property
+  (a false negative would re-fetch a seen URL… which the exact layer would
+  catch, but the scale win is skipping that join for definite-new rows).
+
+Construction (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+CoNEXT 2014 — public paper): fingerprint f = 8-bit nonzero hash of the key;
+two candidate buckets i1 = h(key) mod m, i2 = i1 XOR h(f) mod m; insert into
+any free slot, else evict-and-relocate up to MAX_KICKS.  Everything below is
+vectorized numpy inside ``applyInPandas`` tasks — one task per shard, one
+blob row per shard, cogrouped probe identical in shape to seen.py's bloom
+(blobs never transit the driver).
+
+Derivations all start from the engine's single xxhash64 url_hash, so the
+filter is keyed by canonicalized URL hash exactly like the exact layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .seen import with_shard
+
+SLOTS = 4  # slots per bucket
+MAX_KICKS = 500
+
+
+def _fingerprints(h: np.ndarray) -> np.ndarray:
+    """8-bit nonzero fingerprints from the 64-bit key."""
+    f = ((h.astype(np.uint64) >> np.uint64(17)) & np.uint64(0xFF)).astype(np.uint8)
+    return np.where(f == 0, np.uint8(1), f)
+
+
+def _bucket1(h: np.ndarray, m: int) -> np.ndarray:
+    return (h.astype(np.uint64) % np.uint64(m)).astype(np.int64)
+
+
+def _alt_bucket(b: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
+    # i2 = i1 XOR hash(fp); the classic odd-multiplier mix keeps it involutive
+    mix = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(m)
+    return (b.astype(np.uint64) ^ mix) % np.uint64(m)
+
+
+def _table_size(n_keys: int) -> int:
+    """Buckets sized for ~90% load, power-of-two for cheap mod/xor closure."""
+    m = 1
+    need = max(1, int(n_keys / (SLOTS * 0.9)))
+    while m < need:
+        m <<= 1
+    return m
+
+
+def build_table(hashes: np.ndarray, m: int | None = None) -> np.ndarray:
+    """Insert all keys; returns the (m, SLOTS) uint8 table.
+
+    Insertion is per-key (cuckoo eviction is inherently sequential) but runs
+    inside an executor task over ONE shard — the across-shard build is the
+    parallel axis, matching the reference's per-shard ownership.
+
+    Small tables (m ≤ a few hundred) can overflow structurally — an
+    unordered bucket pair holds at most 2×SLOTS fingerprints, and Poisson
+    variance crosses that at small m even below nominal load — so overflow
+    retries with a doubled table (probe adapts: m travels in the blob)."""
+    m0 = m or _table_size(len(hashes))
+    last: RuntimeError | None = None
+    for attempt in range(4):
+        try:
+            return _build_once(hashes, m0 << attempt)
+        except RuntimeError as e:  # over capacity → double and retry
+            last = e
+    raise last
+
+
+def _build_once(hashes: np.ndarray, m: int) -> np.ndarray:
+    table = np.zeros((m, SLOTS), dtype=np.uint8)
+    fps = _fingerprints(hashes)
+    b1s = _bucket1(hashes, m)
+    rng = np.random.default_rng(0xC0C0)
+    for fp, b1 in zip(fps, b1s):
+        b2 = int(_alt_bucket(np.array([b1]), np.array([fp]), m)[0])
+        placed = False
+        for b in (int(b1), b2):
+            free = np.where(table[b] == 0)[0]
+            if len(free):
+                table[b, free[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        cur_fp, cur_b = int(fp), int(b1)
+        for _ in range(MAX_KICKS):
+            slot = int(rng.integers(SLOTS))
+            cur_fp, table[cur_b, slot] = int(table[cur_b, slot]), cur_fp
+            cur_b = int(
+                _alt_bucket(np.array([cur_b]), np.array([cur_fp]), m)[0]
+            )
+            free = np.where(table[cur_b] == 0)[0]
+            if len(free):
+                table[cur_b, free[0]] = cur_fp
+                break
+        else:  # table effectively full — callers size via _table_size
+            raise RuntimeError("cuckoo filter over capacity; resize the shard")
+    return table
+
+
+def contains(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: fp present in either candidate bucket."""
+    m = table.shape[0]
+    fps = _fingerprints(hashes)
+    b1 = _bucket1(hashes, m)
+    b2 = _alt_bucket(b1, fps, m).astype(np.int64)
+    return ((table[b1] == fps[:, None]).any(axis=1)
+            | (table[b2] == fps[:, None]).any(axis=1))
+
+
+def delete(table: np.ndarray, hashes: np.ndarray) -> int:
+    """Remove one fingerprint copy per key (the bloom-impossible operation);
+    returns how many were found and removed."""
+    m = table.shape[0]
+    fps = _fingerprints(hashes)
+    b1s = _bucket1(hashes, m)
+    b2s = _alt_bucket(b1s, fps, m).astype(np.int64)
+    removed = 0
+    for fp, b1, b2 in zip(fps, b1s, b2s):
+        for b in (int(b1), int(b2)):
+            slots = np.where(table[b] == fp)[0]
+            if len(slots):
+                table[b, slots[0]] = 0
+                removed += 1
+                break
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# DataFrame layer — same shape as seen.py's bloom (blob table + cogroup probe)
+
+
+def build_cuckoo_shards(seen: DataFrame, n_shards: int) -> DataFrame:
+    """Cuckoo blob TABLE (shard, m, table) built distributed, one task per
+    shard; blobs never transit the driver."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(np.int64)
+        table = build_table(h)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "m": [table.shape[0]],
+                "table": [table.tobytes()],
+            }
+        )
+
+    return (
+        with_shard(seen.select("url_hash"), n_shards)
+        .groupBy("shard")
+        .applyInPandas(_build, "shard int, m long, table binary")
+    )
+
+
+def cuckoo_maybe_seen(df: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
+    """Adds ``maybe_seen`` by cogrouping candidates with their shard's blob.
+    No false negatives; suspects go to the exact anti-join."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    added_shard = "shard" not in df.columns
+    cand = with_shard(df, n_shards) if added_shard else df
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _probe(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        h = cdf["url_hash"].to_numpy(np.int64)
+        if len(bdf) == 0:
+            hit = np.zeros(len(h), dtype=bool)
+        else:
+            m = int(bdf["m"].iloc[0])
+            table = np.frombuffer(bdf["table"].iloc[0], dtype=np.uint8).reshape(
+                m, SLOTS
+            )
+            hit = contains(table, h)
+        out = cdf.copy()
+        out["maybe_seen"] = hit
+        if added_shard:
+            out = out.drop(columns=["shard"])
+        return out[out_cols]
+
+    return (
+        cand.groupBy("shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+def filter_unseen_with_cuckoo(
+    candidates: DataFrame, seen: DataFrame | None, shards: DataFrame, n_shards: int
+) -> DataFrame:
+    """Two-layer dedup, cuckoo front-filter + exact confirm of suspects."""
+    from .seen import filter_unseen
+
+    if seen is None:
+        return candidates
+    flagged = cuckoo_maybe_seen(candidates, shards, n_shards)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new.unionByName(filter_unseen(suspects, seen))
