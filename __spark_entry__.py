@@ -424,6 +424,18 @@ def q_dedup_minhash_lsh(spark, sf):
     return minhash_lsh_pairs(_t(spark, sf, "documents"), k=16, bands=8, n=3, threshold=0.2)
 
 
+def q_ann_topk_ivf(spark, sf):
+    """IVF (k-means coarse quantizer) approximate top-k — the second ANN
+    scale path next to LSH; approximate ⇒ rows-only."""
+    from eastmoneygubacrawler_spark.operators.ivf import topk_ivf
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=3, dim=64)
+
+
 def q_ann_topk_lsh(spark, sf):
     from eastmoneygubacrawler_spark.operators.similarity import topk_lsh
 
@@ -507,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         # rows-only (no oracle): approximate / stateful / fixture-driven
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "crawl_fixture_round": q_crawl_fixture_round,
         "multimodal_features": q_multimodal_features,
     }

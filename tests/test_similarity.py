@@ -64,3 +64,30 @@ def test_lsh_scores_are_exact_for_returned_rows(spark, emb, queries):
         key = (r.query_id, r.vec_id)
         if key in brute:
             assert abs(brute[key] - r.cosine) < 1e-9
+
+
+def test_topk_ivf_recall_vs_brute(spark):
+    """IVF cluster-probe top-k: recall ≥ 0.6 vs exact brute force (same bar
+    as the LSH path), deterministic across runs."""
+    from eastmoneygubacrawler_spark.operators.ivf import topk_ivf
+    from eastmoneygubacrawler_spark.operators.similarity import topk_brute
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in topk_brute(emb, queries, k=5).collect()
+    }
+    ivf1 = {
+        (r.query_id, r.vec_id)
+        for r in topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    ivf2 = {
+        (r.query_id, r.vec_id)
+        for r in topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    assert ivf1 == ivf2  # deterministic index
+    recall = len(ivf1 & brute) / len(brute)
+    assert recall >= 0.6, recall
