@@ -111,3 +111,41 @@ def test_streaming_metrics_available_now(spark, tmp_path):
     run_metrics_stream_once(spark, events_dir, out, ckpt)
     agg2 = spark.read.parquet(out).groupBy("host").agg(F.sum("fetched").alias("n")).collect()
     assert {r.host: r.n for r in agg2}["guba.eastmoney.com"] == 76
+
+
+def test_stateful_streak_monitor_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: the per-host failure streak carries across
+    SEPARATE availableNow runs via the checkpoint — batch 1 ends at streak 2
+    (no alert at threshold 3); batch 2 adds one more failure and must trip."""
+    import json
+
+    from eastmoneygubacrawler_spark.streaming.state_stream import (
+        run_streak_monitor_once,
+    )
+
+    events_dir = tmp_path / "events"
+    out_dir = str(tmp_path / "alerts")
+    ckpt = str(tmp_path / "ckpt")
+    events_dir.mkdir()
+
+    def write_batch(name, rows):
+        with open(events_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch("b1.json", [
+        {"url": "u1", "host": "h1", "ts": "2026-02-01T08:00:00", "status": "fail", "bytes": 0},
+        {"url": "u2", "host": "h1", "ts": "2026-02-01T08:00:01", "status": "fail", "bytes": 0},
+        {"url": "u3", "host": "h2", "ts": "2026-02-01T08:00:02", "status": "ok", "bytes": 5},
+    ])
+    run_streak_monitor_once(spark, str(events_dir), out_dir, ckpt, threshold=3)
+    assert spark.read.parquet(out_dir).count() == 0  # streak 2 < 3
+
+    write_batch("b2.json", [
+        {"url": "u4", "host": "h1", "ts": "2026-02-01T08:01:00", "status": "fail", "bytes": 0},
+        {"url": "u5", "host": "h2", "ts": "2026-02-01T08:01:01", "status": "fail", "bytes": 0},
+    ])
+    run_streak_monitor_once(spark, str(events_dir), out_dir, ckpt, threshold=3)
+    alerts = [(r.host, r.streak) for r in spark.read.parquet(out_dir).collect()]
+    # h1 trips at 3 ONLY if state (streak 2) survived the restart; h2 is at 1
+    assert alerts == [("h1", 3)]
