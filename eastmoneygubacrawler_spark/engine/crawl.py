@@ -155,6 +155,10 @@ def run_crawl(
 
     posts_prev = store.load(spark, "posts")
     seen_prev = store.load(spark, "seen")
+    # incremental bloom index: blobs persist in the store, so recrawl rounds
+    # never re-scan the full seen corpus to rebuild the front-filter — they
+    # OR-merge the round's delta blobs in (operators/seen.merge_bloom_shards)
+    bloom_prev = store.load(spark, "seen_bloom") if cfg.use_bloom else None
 
     if fetcher is None:
         from .fetch import FixtureFetcher
@@ -458,8 +462,14 @@ def run_crawl(
                     d1_cand, seen_prev, shards, cfg.n_shards
                 )
             elif cfg.use_bloom:
-                shards = SE.build_bloom_shards(
-                    seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp
+                # stored blobs win (O(delta) maintenance); full build only on
+                # bootstrap (no index yet in this store)
+                shards = (
+                    bloom_prev
+                    if bloom_prev is not None
+                    else SE.build_bloom_shards(
+                        seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp
+                    )
                 )
                 d1_cand = SE.filter_unseen_with_bloom(
                     d1_cand, seen_prev, shards, cfg.n_shards
@@ -851,12 +861,32 @@ def run_crawl(
 
     appends["crawl_log"] = crawl_log
 
+    snapshots = {"frontier": frontier_out}
+    if cfg.use_bloom:
+        # maintain the bloom index incrementally: blobs for THIS round's seen
+        # delta, OR-merged into the stored blob set (identical geometry).  At
+        # sandbox sizing the snapshot is ~15 MB; a 10^4-shard deployment
+        # would delta-commit only touched shards — same merge operator.
+        delta_blobs = SE.build_bloom_shards(
+            seen_new, cfg.n_shards, fpp=cfg.bloom_fpp
+        )
+        if bloom_prev is not None:
+            blobs = SE.merge_bloom_shards(bloom_prev, delta_blobs)
+        elif seen_prev is not None:
+            blobs = SE.merge_bloom_shards(
+                SE.build_bloom_shards(seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp),
+                delta_blobs,
+            )
+        else:
+            blobs = delta_blobs
+        snapshots["seen_bloom"] = blobs
+
     _mark('assemble')
-    # frontier is the only snapshot table (small cross-round state: retry/
-    # pending/failed rows); everything else commits as an append-only delta
+    # frontier (small cross-round state) and the bloom index are snapshot
+    # tables; everything else commits as an append-only delta
     store.commit(
         round_id,
-        snapshots={"frontier": frontier_out},
+        snapshots=snapshots,
         appends=appends,
         patches=patch_tables,
     )

@@ -101,6 +101,45 @@ def build_bloom_shards(
     )
 
 
+def merge_bloom_shards(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two blob tables of IDENTICAL geometry (m, k) shard-by-shard.
+
+    Bloom insertion is just setting bits, so OR(build(A), build(B)) ==
+    build(A ∪ B) bit-for-bit — the incremental-index property: each round
+    builds blobs from its (small) seen DELTA only and merges, instead of
+    re-scanning the 10^10-key corpus.  Geometry is fixed at creation (size
+    for target capacity up front; fp degrades gracefully past it — never
+    correctness, the exact layer confirms suspects)."""
+
+    def _merge(pdfs) -> pd.DataFrame:
+        a, b = pdfs
+        if len(a) == 0:
+            return b[["shard", "m", "k", "bits"]]
+        if len(b) == 0:
+            return a[["shard", "m", "k", "bits"]]
+        assert int(a["m"].iloc[0]) == int(b["m"].iloc[0]), "bloom geometry mismatch"
+        bits = (
+            np.frombuffer(a["bits"].iloc[0], dtype=np.uint64)
+            | np.frombuffer(b["bits"].iloc[0], dtype=np.uint64)
+        )
+        return pd.DataFrame(
+            {
+                "shard": [int(a["shard"].iloc[0])],
+                "m": [int(a["m"].iloc[0])],
+                "k": [int(a["k"].iloc[0])],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return (
+        prev.groupBy("shard")
+        .cogroup(delta.groupBy("shard"))
+        .applyInPandas(
+            lambda a, b: _merge((a, b)), "shard int, m long, k int, bits binary"
+        )
+    )
+
+
 def bloom_maybe_seen(df: DataFrame, shards: DataFrame, n_shards: int) -> DataFrame:
     """Adds ``maybe_seen`` bool by cogrouping candidates with the blob table
     on the shard key — each task gets one shard's candidates + its one blob.

@@ -139,3 +139,52 @@ def test_engine_bloom_path_equals_exact_path(spark, tmp_path):
         return posts, seen
 
     assert run(True, "bloom") == run(False, "exact")
+
+
+def test_merge_bloom_shards_equals_fresh_build(spark):
+    """OR(build(A), build(B)) must be bit-identical to build(A ∪ B) — the
+    property that makes the stored bloom index incrementally maintainable."""
+    from eastmoneygubacrawler_spark.operators.seen import merge_bloom_shards
+
+    n_shards = 8
+    a = _urls_df(spark, [f"https://s.com/{i}" for i in range(1500)])
+    b = _urls_df(spark, [f"https://s.com/{i}" for i in range(1500, 2000)])
+    both = _urls_df(spark, [f"https://s.com/{i}" for i in range(2000)])
+    merged = merge_bloom_shards(
+        build_bloom_shards(a, n_shards, keys_per_shard=500),
+        build_bloom_shards(b, n_shards, keys_per_shard=500),
+    )
+    fresh = build_bloom_shards(both, n_shards, keys_per_shard=500)
+    m = {r.shard: (r.m, r.k, bytes(r.bits)) for r in merged.collect()}
+    f = {r.shard: (r.m, r.k, bytes(r.bits)) for r in fresh.collect()}
+    assert m == f
+
+
+def test_engine_incremental_bloom_index(spark, tmp_path):
+    """The stored seen_bloom index after 2 rounds must equal a fresh build
+    over the full seen table, and the bloom engine path stays == exact."""
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    corpus = build_corpus(FixtureConfig(n_stocks=2, max_count=60, adversarial=False))
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+    store = SnapshotStore(str(tmp_path / "s"))
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=True, max_depth=1)
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)
+
+    stored = {
+        r.shard: (r.m, r.k, bytes(r.bits))
+        for r in store.load(spark, "seen_bloom").collect()
+    }
+    fresh = {
+        r.shard: (r.m, r.k, bytes(r.bits))
+        for r in build_bloom_shards(
+            store.load(spark, "seen"), cfg.n_shards, fpp=cfg.bloom_fpp
+        ).collect()
+    }
+    assert stored == fresh
