@@ -71,6 +71,23 @@ def main() -> None:
         explain_str(nd),
     ))
 
+    # 6. fused scan-extract: extraction INSIDE the scan stage — the html
+    # column feeds ArrowEvalPython directly off the parquet scan (below any
+    # Exchange); only the small extract struct crosses the join
+    from eastmoneygubacrawler_spark.engine.fetch import scan_extract
+    from eastmoneygubacrawler_spark.functions.urls import url_hash
+
+    sched = (
+        pages.select("url").limit(200)
+        .withColumn("url_hash", url_hash(F.col("url")))
+    )
+    se = scan_extract(pages, sched, extract_text_udf)
+    sections.append((
+        "Fused scan-extract (text_fetch_mode=scan_extract) — html consumed "
+        "in the scan stage, never shuffled",
+        explain_str(se),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — flagship physical plans (`.explain(\"formatted\")`)\n\n"

@@ -91,3 +91,28 @@ def test_engine_cuckoo_path_equals_exact_path(spark, tmp_path):
         return posts, sorted(r.url for r in store.load(spark, "seen").collect())
 
     assert run(True, "cuckoo", "ck") == run(False, "bloom", "exact")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1, max_size=400, unique=True,
+    ),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_properties_random_sets(keys, data):
+    """Property: inserted keys are ALWAYS contained; deleting any subset
+    never evicts the rest."""
+    h = np.array(keys, dtype=np.int64)
+    table = build_table(h)
+    assert contains(table, h).all()
+    n_del = data.draw(st.integers(min_value=0, max_value=len(keys)))
+    gone, kept = h[:n_del], h[n_del:]
+    assert delete(table, gone) == n_del
+    if len(kept):
+        assert contains(table, kept).all()
