@@ -179,6 +179,38 @@ class SnapshotStore:
             base = base.select(*base_cols)
         return base
 
+    # ------------------------------------------------------------------- gc
+
+    def gc(self) -> list[str]:
+        """Remove data directories no longer referenced by the CURRENT
+        manifest (Iceberg snapshot expiry): superseded snapshot versions,
+        delta chains folded by compaction, patch files absorbed into a base.
+
+        Safe by construction — there is exactly one pointer, flipped
+        atomically, so anything unreferenced can never become referenced
+        again.  Returns the removed relative paths."""
+        import shutil
+
+        m = self.manifest()
+        if m is None:
+            return []
+        live: set[str] = set()
+        for ent in m["tables"].values():
+            live.update(ent["paths"])
+            live.update(ent.get("patch", {}).get("paths", ()))
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        if not os.path.isdir(data_root):
+            return []
+        for table in sorted(os.listdir(data_root)):
+            tdir = os.path.join(data_root, table)
+            for d in sorted(os.listdir(tdir)):
+                rel = f"data/{table}/{d}"
+                if rel not in live:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    removed.append(rel)
+        return removed
+
     # --------------------------------------------------------------- compact
 
     def compact(self, spark: SparkSession, table: str) -> None:

@@ -103,3 +103,18 @@ def test_manifest_paths_relative_and_store_relocatable(spark, tmp_path):
     shutil.copytree(src.root, moved)
     shutil.rmtree(src.root)  # the original is GONE — no hidden absolute refs
     assert SnapshotStore(moved).load(spark, "t").count() == 7
+
+
+def test_gc_removes_unreferenced_dirs_only(spark, tmp_path):
+    """After compaction + snapshot replacement, gc removes superseded dirs;
+    everything the manifest references stays readable."""
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, appends={"t": spark.range(4)}, snapshots={"f": spark.range(2)})
+    store.commit(1, appends={"t": spark.range(4, 6)}, snapshots={"f": spark.range(3)})
+    store.compact(spark, "t")
+    removed = store.gc()
+    # superseded: t's two delta dirs (folded into base) + f's round-0 snapshot
+    assert sorted(removed) == ["data/f/r000000", "data/t/r000000", "data/t/r000001"]
+    assert store.load(spark, "t").count() == 6
+    assert store.load(spark, "f").count() == 3
+    assert store.gc() == []  # idempotent
