@@ -358,6 +358,21 @@ def q_dedup_simhash(spark, sf):
     return simhash32(_t(spark, sf, "documents"))
 
 
+def q_dedup_components(spark, sf):
+    """Near-dup GROUPS: connected components over the n-gram-Jaccard pair
+    graph (iterative min-label propagation; oracle = DuckDB recursive CTE).
+    Pairwise output alone is not a dedup decision — A~B and B~C must collapse
+    into one group even when A~C was never emitted."""
+    from eastmoneygubacrawler_spark.operators.dedup import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    edges = ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return dedup_components(docs.select("doc_id"), edges)
+
+
 def q_text_quality(spark, sf):
     from eastmoneygubacrawler_spark.functions import textfn as T
 
@@ -514,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "text_quality": q_text_quality,
         "ann_topk_brute": q_ann_topk_brute,
         "emb_neardup": q_emb_neardup,
@@ -884,6 +900,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_sig": _sql_minhash(8),
         "dedup_minhash_lsh": _sql_minhash_lsh(16, 8, 0.2),
+        "dedup_components": f"""
+            WITH RECURSIVE
+            toks AS (
+                SELECT doc_id, string_split({_sql_norm_text()}, ' ') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS shingle
+                FROM toks,
+                     unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sizes na ON na.doc_id = id_a
+                JOIN sizes nb ON nb.doc_id = id_b
+                WHERE shared * 1.0 / (na.n_sh + nb.n_sh - shared) >= 0.2
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(lbl) AS component_id
+            FROM reach GROUP BY node
+        """,
         "dedup_simhash": _sql_simhash(),
         "text_quality": _sql_text_quality(),
         "ann_topk_brute": """

@@ -236,6 +236,66 @@ def simhash_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# near-dup GROUPS: connected components over the pair graph
+
+
+def dedup_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, component_id) — transitive closure of the near-dup relation.
+
+    Pairwise near-dup output (id_a, id_b) is not yet a dedup decision: A~B
+    and B~C must collapse into one group even when A~C was never emitted.
+    Standard iterative min-label propagation, expressed as joins:
+
+        label(v) ← min(label(v), min over neighbors u of label(u))
+
+    until a fixpoint (≤ graph diameter iterations; each iteration is one
+    shuffle on the edge list, lineage truncated with localCheckpoint so the
+    plan stays flat).  component_id = min doc_id in the component —
+    deterministic, engine-independent, and reproducible in DuckDB with a
+    recursive CTE (the oracle).  Raises if not converged in ``max_iters``
+    (pathological diameters; raise the cap for chain-shaped graphs).
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, on=F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on=F.col("node") == F.col("src"), how="left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = new_labels.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias(id_col), F.col("lbl").alias("component_id")
+            )
+        labels = labels.localCheckpoint(eager=True)
+    raise RuntimeError(f"label propagation did not converge in {max_iters} iters")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup (cosine ≥ threshold); see similarity.py for top-k search
 
 

@@ -135,3 +135,28 @@ def test_embedding_near_dups_not_allpairs_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_components_transitive_closure(spark):
+    """A~B and B~C collapse into one group without an A~C edge; isolated
+    nodes are their own component."""
+    from eastmoneygubacrawler_spark.operators.dedup import dedup_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], ["doc_id"])
+    edges = spark.createDataFrame([(2, 3), (1, 2), (4, 5)], ["id_a", "id_b"])
+    got = {
+        r.doc_id: r.component_id for r in dedup_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dedup_components_chain_diameter(spark):
+    """A long chain needs ~log-ish propagation rounds; converges well within
+    the cap and labels everything to the minimum id."""
+    from eastmoneygubacrawler_spark.operators.dedup import dedup_components
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    got = {r.doc_id: r.component_id for r in dedup_components(nodes, edges, max_iters=40).collect()}
+    assert got == {i: 0 for i in range(n)}
