@@ -387,6 +387,38 @@ def q_text_quality(spark, sf):
     )
 
 
+def q_corpus_clean_pipeline(spark, sf):
+    """The end-to-end training-data cleaning pass, composed from the engine's
+    own operators: near-dup pairs → connected components → keep ONE
+    representative per group, chosen by quality score (ties → lower doc_id).
+    This is the query a 100 TB corpus actually runs before training; fully
+    oracle-checked (recursive CTE + quality CTE + window in DuckDB)."""
+    from eastmoneygubacrawler_spark.functions import textfn as T
+    from eastmoneygubacrawler_spark.operators.dedup import (
+        dedup_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    comps = dedup_components(
+        docs.select("doc_id"), ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    )
+    scored = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        comps.join(scored, on="doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("rep_id"),
+            F.col("quality").alias("rep_quality"),
+        )
+    )
+
+
 def q_ann_topk_brute(spark, sf):
     from eastmoneygubacrawler_spark.operators.similarity import topk_brute
 
@@ -530,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
+        "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "text_quality": q_text_quality,
         "ann_topk_brute": q_ann_topk_brute,
         "emb_neardup": q_emb_neardup,
@@ -938,6 +971,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _sql_simhash(),
         "text_quality": _sql_text_quality(),
+        "corpus_clean_pipeline": f"""
+            WITH RECURSIVE
+            toks AS (
+                SELECT doc_id, string_split({_sql_norm_text()}, ' ') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], ' ') AS shingle
+                FROM toks,
+                     unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM shared
+                JOIN sizes na ON na.doc_id = id_a
+                JOIN sizes nb ON nb.doc_id = id_b
+                WHERE shared * 1.0 / (na.n_sh + nb.n_sh - shared) >= 0.2
+            ),
+            e AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+            ),
+            comp AS (
+                SELECT node AS doc_id, min(lbl) AS component_id
+                FROM reach GROUP BY node
+            ),
+            quality AS (
+                SELECT doc_id, quality FROM ({_sql_text_quality()}) tq
+            ),
+            ranked AS (
+                SELECT c.component_id, c.doc_id, q.quality,
+                       row_number() OVER (PARTITION BY c.component_id
+                                          ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+                FROM comp c JOIN quality q USING (doc_id)
+            )
+            SELECT component_id, doc_id AS rep_id, quality AS rep_quality
+            FROM ranked WHERE rn = 1
+        """,
         "ann_topk_brute": """
             WITH q AS (
                 SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
