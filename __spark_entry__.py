@@ -419,6 +419,24 @@ def q_corpus_clean_pipeline(spark, sf):
     )
 
 
+def q_tokenize(spark, sf):
+    """Token counting two ways (training-data brief): whitespace tokens and
+    the BPE-ish GPT-2-style pretokenizer regex (lookahead-free so Java regex
+    and RE2 agree byte-for-byte); first pretokens shown for value-level
+    verification, not just counts."""
+    from eastmoneygubacrawler_spark.functions import textfn as T
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        F.array_join(F.slice(T.bpe_ish_tokens(F.col("text")), 1, 5), "|").alias(
+            "first_pretokens"
+        ),
+    )
+
+
 def q_ann_topk_brute(spark, sf):
     from eastmoneygubacrawler_spark.operators.similarity import topk_brute
 
@@ -563,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
+        "tokenize": q_tokenize,
         "text_quality": q_text_quality,
         "ann_topk_brute": q_ann_topk_brute,
         "emb_neardup": q_emb_neardup,
@@ -971,6 +990,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": _sql_simhash(),
         "text_quality": _sql_text_quality(),
+        "tokenize": f"""
+            SELECT doc_id,
+                   CASE WHEN length({_sql_norm_text()}) = 0 THEN 0
+                        ELSE len(string_split({_sql_norm_text()}, ' ')) END AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+                       AS bpe_tokens,
+                   array_to_string(
+                       regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')[1:5],
+                       '|') AS first_pretokens
+            FROM documents
+        """,
         "corpus_clean_pipeline": f"""
             WITH RECURSIVE
             toks AS (

@@ -35,6 +35,23 @@ def token_count(col: Column) -> Column:
     ).cast("long")
 
 
+# GPT-2-style pretokenizer, simplified to the lookahead-free core so Java
+# regex (Spark) and RE2 (DuckDB) match IDENTICALLY: contractions, unicode
+# letter runs, digit runs, punctuation runs — each with an optional leading
+# space (the "BPE-ish" token estimate the training-data brief asks for;
+# counts track tiktoken within a few % on prose)
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """array<string> of BPE-ish pretokens (regexp_extract_all, pure Catalyst)."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col)).cast("long")
+
+
 def stopword_count(col: Column) -> Column:
     return F.size(
         F.filter(tokens(col), lambda t: t.isin(EN_STOPWORDS))

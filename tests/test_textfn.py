@@ -60,3 +60,22 @@ def test_over_documents_table(spark):
     assert all(r.pred_lang != "zh" for r in rows)
     assert all(0.0 <= r.quality <= 1.0 for r in rows)
     assert len({r.fp for r in rows}) == 500
+
+
+def test_bpe_ish_tokens(spark):
+    from eastmoneygubacrawler_spark.functions.textfn import (
+        bpe_ish_token_count,
+        bpe_ish_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("It's 2026: 东财 stocks rose 3.5%!",)], ["text"]
+    )
+    row = df.select(
+        bpe_ish_tokens(F.col("text")).alias("t"),
+        bpe_ish_token_count(F.col("text")).alias("n"),
+    ).collect()[0]
+    assert row.t == [
+        "It", "'s", " 2026", ":", " 东财", " stocks", " rose", " 3", ".", "5", "%!",
+    ]
+    assert row.n == 11
