@@ -179,6 +179,22 @@ class SnapshotStore:
             base = base.select(*base_cols)
         return base
 
+    def maintain(self, spark: SparkSession) -> dict:
+        """The between-rounds maintenance pass (reference analog: T5): fold
+        every multi-file append chain, then expire unreferenced dirs.
+        Returns {"compacted": [...], "gc": [...]}."""
+        m = self.manifest()
+        compacted = []
+        if m is not None:
+            for name, ent in m["tables"].items():
+                if ent.get("mode") != "append":
+                    continue
+                n = len(ent["paths"]) + len(ent.get("patch", {}).get("paths", ()))
+                if n > 1:
+                    self.compact(spark, name)
+                    compacted.append(name)
+        return {"compacted": compacted, "gc": self.gc()}
+
     # ------------------------------------------------------------------- gc
 
     def gc(self) -> list[str]:

@@ -118,3 +118,36 @@ def test_gc_removes_unreferenced_dirs_only(spark, tmp_path):
     assert store.load(spark, "t").count() == 6
     assert store.load(spark, "f").count() == 3
     assert store.gc() == []  # idempotent
+
+
+def test_maintain_between_rounds_preserves_state(spark, tmp_path):
+    """T5 maintenance: compaction + gc between crawl rounds must not change
+    any loadable table, and the next round keeps running on the compacted
+    store (delta chains restart from the new base)."""
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+
+    corpus = build_corpus(FixtureConfig(n_stocks=1, max_count=50, adversarial=False))
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+    store = SnapshotStore(str(tmp_path / "s"))
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False, max_depth=1)
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)
+
+    def snap():
+        return {
+            t: sorted(map(tuple, store.load(spark, t).collect()))
+            for t in ("posts", "seen")
+        }
+
+    before = snap()
+    report = store.maintain(spark)
+    assert "posts" in report["compacted"] or "seen" in report["compacted"]
+    assert report["gc"]  # something was expired
+    assert snap() == before
+    # a further round still works on the maintained store
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)
+    assert snap() == before  # recrawl adds nothing on a static corpus
