@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -118,6 +118,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, k: int = 16, bands: int = 4, n: int = 3,
     threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash, verified with exact Jaccard.
 
@@ -125,6 +126,15 @@ def minhash_lsh_pairs(
     concat.  Candidate pairs = docs sharing ≥1 bucket; the expensive exact
     Jaccard runs only on candidates (the 100 TB path: candidates scale with
     dup density, not corpus²).
+
+    ``max_bucket_size``: skew guard for the self-join — a degenerate bucket
+    shared by B documents (boilerplate bands, empty-ish docs) contributes
+    B²/2 candidate pairs in ONE task; at B = 10⁶ that is 5·10¹¹ pairs and
+    the job is dead.  Buckets above the cap are dropped from candidate
+    generation (standard practice; a pair survives if ANY of its other
+    bands stays under the cap, so recall degrades only for pairs whose
+    every shared band is boilerplate).  None (default) keeps exact LSH
+    semantics — the oracle-gated configuration.
     """
     assert k % bands == 0
     r = k // bands
@@ -138,6 +148,14 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        w_size = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bsz", F.count("*").over(w_size))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
 
     a = buckets.alias("a")
     b_ = buckets.alias("b")

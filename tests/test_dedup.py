@@ -160,3 +160,31 @@ def test_dedup_components_chain_diameter(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     got = {r.doc_id: r.component_id for r in dedup_components(nodes, edges, max_iters=40).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_minhash_lsh_super_bucket_cap(spark):
+    """Skew guard: a degenerate bucket (40 identical boilerplate docs) is
+    dropped from candidate generation, while a distinct near-dup pair in
+    small buckets survives."""
+    from eastmoneygubacrawler_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "subscribe to our newsletter terms and conditions apply today"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [
+        (100, "quantum flux capacitor output exceeded nominal thresholds rapidly"),
+        (101, "quantum flux capacitor output exceeded nominal thresholds slowly"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, k=16, bands=8, threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, k=16, bands=8, threshold=0.5, max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    assert capped == {(100, 101)}  # boilerplate pairs gone, true pair kept
