@@ -177,6 +177,33 @@ def q_s8_proxy_sources(spark, sf):
     return parse_proxy_payloads(fetched)
 
 
+def q_s10_task_queue(spark, sf):
+    """S10 task-queue claim order (archive/task_scheduler_api.py:203-213):
+    pending tasks joined to active configs, ranked by (queue_position, id) —
+    synthesized from orders; the reference's ORDER BY … as data."""
+    from eastmoneygubacrawler_spark.operators.tasks import _pending_ranked
+
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    queue = o.filter(k < 400).select(
+        k.alias("id"),
+        F.pmod(k, F.lit(7)).alias("task_config_id"),
+        F.pmod(k * 13, F.lit(50)).alias("queue_position"),
+        F.when(k % 4 == 0, F.lit("completed")).otherwise(F.lit("pending")).alias(
+            "status"
+        ),
+    )
+    configs = spark.range(7).select(
+        F.col("id"),
+        F.concat(F.lit("task_"), F.col("id")).alias("task_name"),
+        F.lit("guba").alias("crawler_type"),
+        (F.col("id") % 2).cast("int").alias("is_active"),
+    )
+    return _pending_ranked(queue, configs).select(
+        "id", "task_config_id", "queue_position", "task_name", "claim_rank"
+    )
+
+
 def q_x9_year_infer(spark, sf):
     from eastmoneygubacrawler_spark.operators.year_infer import infer_year
 
@@ -565,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x9_year_infer": q_x9_year_infer,
         "x16_ip_scrape": q_x16_ip_scrape,
         "s8_proxy_sources": q_s8_proxy_sources,
+        "s10_task_queue": q_s10_task_queue,
         "j1_seen_antijoin": q_j1_seen_antijoin,
         "j4_horizon": q_j4_horizon,
         "o_crawl_rank": q_o_crawl_rank,
@@ -826,6 +854,26 @@ def oracle_sql() -> dict[str, str]:
                    printf('12.2.%d.%d:%d', o_orderkey % 256,
                           (o_orderkey * 11) % 256, (o_orderkey % 60000) + 1) AS proxy
             FROM orders WHERE o_orderkey < 300 AND o_orderkey % 3 = 2
+        """,
+        "s10_task_queue": """
+            WITH queue AS (
+                SELECT o_orderkey AS id,
+                       o_orderkey % 7 AS task_config_id,
+                       (o_orderkey * 13) % 50 AS queue_position,
+                       CASE WHEN o_orderkey % 4 = 0 THEN 'completed'
+                            ELSE 'pending' END AS status
+                FROM orders WHERE o_orderkey < 400
+            ),
+            configs AS (
+                SELECT i AS id, 'task_' || i AS task_name,
+                       CAST(i % 2 AS INT) AS is_active
+                FROM unnest(range(0, 7)) AS u(i)
+            )
+            SELECT q.id, q.task_config_id, q.queue_position, c.task_name,
+                   CAST(row_number() OVER (ORDER BY q.queue_position ASC, q.id ASC)
+                        AS INT) AS claim_rank
+            FROM queue q JOIN configs c ON c.id = q.task_config_id
+            WHERE q.status = 'pending' AND c.is_active = 1
         """,
         "j1_seen_antijoin": """
             SELECT l_returnflag, count(*) AS n_new FROM lineitem
