@@ -155,10 +155,28 @@ def run_crawl(
 
     posts_prev = store.load(spark, "posts")
     seen_prev = store.load(spark, "seen")
+    store_meta = store.meta()
     # incremental bloom index: blobs persist in the store, so recrawl rounds
     # never re-scan the full seen corpus to rebuild the front-filter — they
-    # OR-merge the round's delta blobs in (operators/seen.merge_bloom_shards)
-    bloom_prev = store.load(spark, "seen_bloom") if cfg.use_bloom else None
+    # OR-merge the round's delta blobs in (operators/seen.merge_bloom_shards).
+    # The manifest records the index geometry (n_shards, m, k) and the round
+    # it covers: a config drift (different --n-shards/--bloom-fpp) or a lag
+    # (a use_bloom=False round committed seen without the index) would
+    # otherwise probe wrong/stale blobs — bloom FALSE NEGATIVES, i.e. refetch
+    # of seen URLs and double MoR patches.  Drift/lag ⇒ rebuild from seen_prev.
+    bloom_prev = None
+    bloom_geom = dict(
+        zip(("m", "k"), SE._bloom_params(200_000, cfg.bloom_fpp))
+    ) | {"n_shards": cfg.n_shards}
+    if cfg.use_bloom:
+        bm = store_meta.get("seen_bloom")
+        fresh = (
+            bm is not None
+            and all(bm.get(f) == bloom_geom[f] for f in ("n_shards", "m", "k"))
+            and bm.get("round") == store.current_round()
+        )
+        if fresh:
+            bloom_prev = store.load(spark, "seen_bloom")
 
     if fetcher is None:
         from .fetch import FixtureFetcher
@@ -393,7 +411,12 @@ def run_crawl(
         # rank — no single-partition global window at 10^10 scale
         from ..operators.order import global_row_number
 
-        prev_count = posts_prev.count() if posts_prev is not None else 0
+        # running count rides the manifest — a per-round posts_prev.count()
+        # would touch the whole corpus's parquet footers at a 10^10-row
+        # table; the scan fallback only runs on a legacy (pre-meta) store
+        prev_count = store_meta.get("posts_rows")
+        if prev_count is None:
+            prev_count = posts_prev.count() if posts_prev is not None else 0
         posts_new = (
             new_items_final.withColumn(
                 "url", U.post_url(F.col("stock_code"), F.col("url_id"), F.col("art_url"))
@@ -784,10 +807,20 @@ def run_crawl(
         .select("url_hash", "url", "shard", "round")
     )
     if seen_prev is not None:
-        # delta-only append: urls already in the seen set are not re-written
-        seen_new = seen_new.join(
-            seen_prev.select("url"), on="url", how="left_anti"
-        ).select("url_hash", "url", "shard", "round")
+        # delta-only append: urls already in the seen set are not re-written.
+        # With a fresh bloom index the probe pre-prunes: rows the filter has
+        # never seen (the vast majority of a round's delta) skip the exact
+        # anti-join against the FULL seen corpus — only the few-% suspects
+        # (bloom hits) touch it, exactly like the d1 gate above.  O(delta)
+        # instead of O(corpus-join) per round.
+        if bloom_prev is not None:
+            seen_new = SE.filter_unseen_with_bloom(
+                seen_new, seen_prev, bloom_prev, cfg.n_shards
+            ).select("url_hash", "url", "shard", "round")
+        else:
+            seen_new = seen_new.join(
+                seen_prev.select("url"), on="url", how="left_anti"
+            ).select("url_hash", "url", "shard", "round")
     appends["seen"] = seen_new
 
     if lineage_frames:
@@ -862,6 +895,11 @@ def run_crawl(
     appends["crawl_log"] = crawl_log
 
     snapshots = {"frontier": frontier_out}
+    commit_meta: dict = {}
+    if n_posts_new > 0:
+        commit_meta["posts_rows"] = prev_count + n_posts_new
+    elif "posts_rows" not in store_meta and posts_prev is None:
+        commit_meta["posts_rows"] = 0
     if cfg.use_bloom:
         # maintain the bloom index incrementally: blobs for THIS round's seen
         # delta, OR-merged into the stored blob set (identical geometry).  At
@@ -880,6 +918,7 @@ def run_crawl(
         else:
             blobs = delta_blobs
         snapshots["seen_bloom"] = blobs
+        commit_meta["seen_bloom"] = {**bloom_geom, "round": round_id}
 
     _mark('assemble')
     # frontier (small cross-round state) and the bloom index are snapshot
@@ -889,6 +928,7 @@ def run_crawl(
         snapshots=snapshots,
         appends=appends,
         patches=patch_tables,
+        meta=commit_meta,
     )
 
     _mark('commit')

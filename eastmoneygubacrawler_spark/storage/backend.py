@@ -27,6 +27,15 @@ Iceberg's snapshot/append/merge-on-read semantics on plain Parquet:
 Manifest paths are stored RELATIVE to the store root so a copied/moved store
 (checkpoint restore) stays self-contained.
 
+The manifest carries a ``format`` version.  Legacy (format-1) manifests that
+stored ``tables[name]`` as a bare path string are migrated on read to the
+``{mode: snapshot, paths: [p]}`` shape; a manifest from a NEWER format fails
+with an explicit error instead of mis-reading.  ``commit`` rejects mode
+conflicts (appending to a snapshot table or snapshotting over an append
+chain would silently drop deltas otherwise).  An optional ``meta`` dict
+rides the manifest — engine-level bookkeeping (running row counts, bloom
+index geometry) that must survive restarts without a table scan.
+
 On a real cluster the same interface maps 1:1 onto Iceberg
 (``df.writeTo(...).append()`` / MERGE / snapshot expiry); only this module
 changes.
@@ -46,6 +55,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+MANIFEST_FORMAT = 2
+
+
 class SnapshotStore:
     def __init__(self, root: str, auto_compact_after: int = 64):
         self.root = root
@@ -59,9 +71,33 @@ class SnapshotStore:
     def manifest(self) -> dict | None:
         try:
             with open(self._pointer) as f:
-                return json.load(f)
+                m = json.load(f)
         except FileNotFoundError:
             return None
+        fmt = m.get("format", 1)
+        if fmt > MANIFEST_FORMAT:
+            raise RuntimeError(
+                f"store at {self.root} uses manifest format {fmt}; this build "
+                f"reads up to format {MANIFEST_FORMAT} — refusing to guess"
+            )
+        if fmt < 2:
+            # format-1 migration: snapshot entries were bare path strings
+            m["tables"] = {
+                name: (
+                    ent
+                    if isinstance(ent, dict)
+                    else {"mode": "snapshot", "paths": [ent]}
+                )
+                for name, ent in m["tables"].items()
+            }
+            m["format"] = MANIFEST_FORMAT
+        return m
+
+    def meta(self) -> dict:
+        """Engine bookkeeping carried on the manifest (row counts, index
+        geometry) — survives restarts without scanning any table."""
+        m = self.manifest()
+        return {} if m is None else m.get("meta", {})
 
     def current_round(self) -> int:
         m = self.manifest()
@@ -75,6 +111,7 @@ class SnapshotStore:
         snapshots: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
         patches: dict[str, tuple[DataFrame, list[str]]] | None = None,
+        meta: dict | None = None,
     ) -> dict:
         """Write this round's data then atomically flip the pointer.
 
@@ -83,7 +120,15 @@ class SnapshotStore:
         - ``patches``: name → (patch DataFrame, key_cols).  Patch rows update
           existing rows of append table ``name`` at load time (non-key columns
           coalesce over base).  The engine must guarantee ≤1 patch row per key
-          across all rounds (the seen-gate does for post texts).
+          across all rounds (the seen-gate does for post texts); ``load``
+          additionally keeps only the newest patch per key as a guard.
+        - ``meta``: bookkeeping dict merged key-wise over the previous
+          round's meta (e.g. running row counts, bloom geometry).
+
+        A table's mode is fixed at creation: committing an append delta to an
+        existing snapshot table (or vice versa) raises — either would silently
+        drop data at load time (a snapshot reads only paths[-1]; a snapshot
+        over an append chain discards the deltas).
 
         Table writes run as concurrent Spark jobs (driver threads) — the
         commit wall is max(write) not sum(write); atomicity comes solely from
@@ -97,18 +142,30 @@ class SnapshotStore:
         prev = self.manifest()
         tables: dict = {} if prev is None else json.loads(json.dumps(prev["tables"]))
 
+        def _check_mode(name: str, want: str) -> None:
+            have = tables.get(name, {}).get("mode", want)
+            if have != want:
+                raise ValueError(
+                    f"table {name!r} is mode={have!r}; committing it as "
+                    f"{want!r} would silently drop data — compact/migrate "
+                    "explicitly instead"
+                )
+
         jobs: list[tuple[DataFrame, str]] = []
         for name, df in snapshots.items():
+            _check_mode(name, "snapshot")
             rel = f"data/{name}/r{round_id:06d}"
             jobs.append((df, rel))
             tables[name] = {"mode": "snapshot", "paths": [rel]}
         for name, df in appends.items():
+            _check_mode(name, "append")
             rel = f"data/{name}/r{round_id:06d}"
             jobs.append((df, rel))
             ent = tables.setdefault(name, {"mode": "append", "paths": []})
             if rel not in ent["paths"]:  # idempotent replay of a killed round
                 ent["paths"].append(rel)
         for name, (df, keys) in patches.items():
+            _check_mode(name, "append")
             rel = f"data/{name}/p{round_id:06d}"
             jobs.append((df, rel))
             ent = tables.setdefault(name, {"mode": "append", "paths": []})
@@ -124,7 +181,13 @@ class SnapshotStore:
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
                 list(pool.map(_write, jobs))
 
-        manifest = {"round": round_id, "tables": tables, "committed_at": time.time()}
+        manifest = {
+            "format": MANIFEST_FORMAT,
+            "round": round_id,
+            "tables": tables,
+            "meta": {**(prev.get("meta", {}) if prev else {}), **(meta or {})},
+            "committed_at": time.time(),
+        }
         self._flip(manifest)
 
         # fold over-long delta chains (bounded manifest + load fan-in); runs
@@ -167,6 +230,24 @@ class SnapshotStore:
         if patch and patch["paths"]:
             keys = patch["keys"]
             pdf = spark.read.parquet(*[self._abs(p) for p in patch["paths"]])
+            if len(patch["paths"]) > 1:
+                # belt-and-braces for the ≤1-patch-per-key contract: if an
+                # upstream bug (e.g. a lossy seen-filter) ever double-patches
+                # a key, keep only the NEWEST round's row instead of
+                # duplicating base rows through the left join.  Patch file
+                # paths sort by round (p%06d), so input_file_name is the
+                # round order; the patch union is tiny (cross-round fills).
+                from pyspark.sql import Window
+
+                # materialize the file name IN the scan stage (it is empty
+                # after an exchange), then rank within key
+                pdf = pdf.withColumn("_src", F.input_file_name())
+                w = Window.partitionBy(*keys).orderBy(F.desc("_src"))
+                pdf = (
+                    pdf.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_src")
+                )
             val_cols = [c for c in pdf.columns if c not in keys]
             renamed = pdf.select(
                 *keys, *[F.col(c).alias(f"_patch_{c}") for c in val_cols]

@@ -151,3 +151,83 @@ def test_maintain_between_rounds_preserves_state(spark, tmp_path):
     # a further round still works on the maintained store
     run_crawl(spark, store, pages, seeds, robots, None, cfg)
     assert snap() == before  # recrawl adds nothing on a static corpus
+
+
+def test_legacy_manifest_migration(spark, tmp_path):
+    """A format-1 manifest (snapshot entries as bare path strings, no format
+    field) is migrated on read instead of crashing with a TypeError."""
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, snapshots={"f": spark.range(4)})
+    with open(store._pointer) as f:
+        m = json.load(f)
+    legacy = {
+        "round": m["round"],
+        "tables": {"f": m["tables"]["f"]["paths"][0]},  # pre-diff format
+        "committed_at": m["committed_at"],
+    }
+    with open(store._pointer, "w") as f:
+        json.dump(legacy, f)
+    assert store.load(spark, "f").count() == 4
+    assert store.manifest()["tables"]["f"]["mode"] == "snapshot"
+    # and a commit on top of the migrated store keeps working
+    store.commit(1, snapshots={"f": spark.range(2)})
+    assert store.load(spark, "f").count() == 2
+
+
+def test_future_manifest_format_rejected(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, snapshots={"f": spark.range(1)})
+    with open(store._pointer) as f:
+        m = json.load(f)
+    m["format"] = 99
+    with open(store._pointer, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(RuntimeError, match="format 99"):
+        store.manifest()
+
+
+def test_mode_conflict_guard(spark, tmp_path):
+    """Appending to a snapshot table (or snapshotting over an append chain)
+    would silently drop data at load — both must raise."""
+    import pytest
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, appends={"a": spark.range(3)}, snapshots={"s": spark.range(3)})
+    with pytest.raises(ValueError, match="mode='append'"):
+        store.commit(1, snapshots={"a": spark.range(1)})
+    with pytest.raises(ValueError, match="mode='snapshot'"):
+        store.commit(1, appends={"s": spark.range(1)})
+    with pytest.raises(ValueError, match="mode='snapshot'"):
+        store.commit(1, patches={"s": (spark.range(1), ["id"])})
+    # the failed commits left no partial manifest damage
+    assert store.load(spark, "a").count() == 3
+    assert store.load(spark, "s").count() == 3
+
+
+def test_meta_rides_manifest_and_merges(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, appends={"t": spark.range(3)}, meta={"posts_rows": 3, "x": 1})
+    store.commit(1, appends={"t": spark.range(2)}, meta={"posts_rows": 5})
+    assert store.meta() == {"posts_rows": 5, "x": 1}  # key-wise merge
+    assert SnapshotStore(store.root).meta()["posts_rows"] == 5  # survives reopen
+
+
+def test_patch_dedup_newest_round_wins(spark, tmp_path):
+    """Belt-and-braces for the ≤1-patch-per-key contract: a double-patched
+    key must not duplicate base rows; the newest round's patch wins."""
+    store = SnapshotStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, text string"
+    )
+    store.commit(0, appends={"t": base})
+    store.commit(1, patches={"t": (
+        spark.createDataFrame([(1, "old")], "id long, text string"), ["id"])})
+    store.commit(2, patches={"t": (
+        spark.createDataFrame([(1, "new"), (2, "b")], "id long, text string"),
+        ["id"])})
+    rows = store.load(spark, "t").collect()
+    assert len(rows) == 2  # no duplication through the patch join
+    got = {r.id: r.text for r in rows}
+    assert got == {1: "new", 2: "b"}
