@@ -72,6 +72,7 @@ def scan_extract(
     extract_udf,
     bloom_capacity: int = 4_000_000,
     bloom_fpp: float = 0.01,
+    unique_urls: bool = True,
 ) -> DataFrame:
     """Fused fetch+extract for UNBOUNDED batches — html never shuffles.
 
@@ -80,16 +81,31 @@ def scan_extract(
     batch size at what the driver can serialize.  This third strategy covers
     the unbounded case with a bounded broadcast:
 
-    1. a bloom filter over the scheduled url hashes (built from ONE Arrow
-       column transfer, ~8 bytes/url — bounded and tiny next to the html it
-       saves; ~2.4 MB of bits at the default capacity) broadcast into a
-       pandas-UDF predicate that prunes the pages SCAN,
-    2. the extraction UDF runs INSIDE the scan stage on the surviving rows —
-       html is consumed where it is read and never crosses an exchange,
+    1. a bloom filter over the scheduled url hashes — built DISTRIBUTED
+       (per-partition partial bit arrays in ``mapInPandas``, OR-folded in two
+       ``applyInPandas`` levels); only the final blob reaches the driver for
+       broadcast.  Driver memory is O(m) = the filter size (a few MB at the
+       default capacity), INDEPENDENT of batch size — never the O(batch)
+       url-hash funnel (≈80 GB at a 10^10-row schedule),
+    2. the filter is broadcast into a pandas-UDF predicate that prunes the
+       pages SCAN; the extraction UDF runs INSIDE the scan stage on the
+       surviving rows — html is consumed where it is read and never crosses
+       an exchange,
     3. only the small extracted struct joins back to ``scheduled`` (left join
        from the scheduled side, so fetch misses surface as null extract
        columns exactly like the join fetch; bloom false positives are dropped
        here — they cost a wasted extract, never correctness).
+
+    ``bloom_capacity`` caps the blob at broadcastable size.  Past it the fp
+    rate degrades gracefully — more wasted extracts, never correctness; at
+    batch ≈ corpus the filter prunes nothing and the operator degenerates to
+    the full-scan extract, which is exactly what that regime needs anyway.
+
+    **Uniqueness contract** (same as FixtureFetcher): ``pages`` must have one
+    row per url, or duplicate urls multiply scheduled rows through the left
+    join.  ``unique_urls=False`` enforces it by deduplicating the EXTRACTED
+    rows per url (small structs — html still never shuffles; deterministic
+    min-md5 pick), at the cost of one extra small shuffle.
 
     Returns ``scheduled`` + ``e`` (the extract struct, null ⇒ fetch miss) +
     ``partition_id`` (scan-stage lineage).
@@ -99,13 +115,43 @@ def scan_extract(
     from ..functions import urls as U
     from ..operators.seen import _bloom_params, _bloom_positions
 
-    # one slim Arrow transfer: the url-hash column only (never rows/html)
-    hashes = scheduled.select("url_hash").toPandas()["url_hash"].to_numpy("int64")
-    m, k = _bloom_params(max(bloom_capacity, len(hashes)), bloom_fpp)
-    bits = np.zeros(m // 64, dtype=np.uint64)
-    pos = _bloom_positions(hashes, m, k).ravel()
-    np.bitwise_or.at(bits, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63)))
-    bc = scheduled.sparkSession.sparkContext.broadcast(bits.tobytes())
+    # size the filter to the batch, capped at broadcastable capacity; the
+    # count is a distributed aggregate (O(1) result row, no row transfer)
+    n_sched = scheduled.count()
+    m, k = _bloom_params(min(max(n_sched, 1), bloom_capacity), bloom_fpp)
+    n_words = m // 64
+
+    def _partials(batches):
+        bits = np.zeros(n_words, dtype=np.uint64)
+        got = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            got = True
+            pos = _bloom_positions(pdf["url_hash"].to_numpy("int64"), m, k).ravel()
+            np.bitwise_or.at(
+                bits, (pos >> 6).astype(np.int64), np.uint64(1) << (pos & np.uint64(63))
+            )
+        if got:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def _or_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    blob_df = (
+        scheduled.select("url_hash")
+        .mapInPandas(_partials, "bits binary")  # one partial blob per partition
+        .withColumn("g", F.spark_partition_id() % 16)
+        .groupBy("g").applyInPandas(lambda p: _or_fold(p), "bits binary")
+        .withColumn("g", F.lit(0))
+        .groupBy("g").applyInPandas(lambda p: _or_fold(p), "bits binary")
+    )
+    row = blob_df.head(1)  # ONE row of O(m) bytes — bounded by capacity
+    blob = row[0]["bits"] if row else np.zeros(n_words, dtype=np.uint64).tobytes()
+    bc = scheduled.sparkSession.sparkContext.broadcast(blob)
 
     from pyspark.sql.types import BooleanType
 
@@ -134,6 +180,28 @@ def scan_extract(
             F.spark_partition_id().alias("partition_id"),
         )
     )
+    if not unique_urls:
+        # enforce one row per url on the EXTRACTED structs (small), never on
+        # the html; deterministic pick = min md5 of the extract payload
+        pick = F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.coalesce(F.col("e.status"), F.lit("")),
+                F.coalesce(F.col("e.text"), F.lit("")),
+                F.coalesce(F.col("e.post_time"), F.lit("")),
+                F.col("bytes").cast("string"),
+            )
+        )
+        extracted = (
+            extracted.groupBy("url")
+            .agg(F.min_by(F.struct("e", "bytes", "partition_id"), pick).alias("_s"))
+            .select(
+                "url",
+                F.col("_s.e").alias("e"),
+                F.col("_s.bytes").alias("bytes"),
+                F.col("_s.partition_id").alias("partition_id"),
+            )
+        )
     return scheduled.join(extracted, on="url", how="left")
 
 

@@ -262,3 +262,77 @@ def test_http_fetcher_slots_preserve_aggregate_rate(spark):
         assert elapsed >= 3 * 0.2
     finally:
         lb.close()
+
+
+def test_scan_extract_distributed_bloom_and_uniqueness_guard(spark):
+    """The scan_extract bloom is built distributed (no O(batch) driver funnel
+    — the lint in test_seen bans .toPandas() in engine/); here: correctness.
+    Duplicate page rows multiply scheduled rows through the left join unless
+    unique_urls=False dedupes the EXTRACTED structs (never the html)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from eastmoneygubacrawler_spark.engine.fetch import scan_extract
+    from eastmoneygubacrawler_spark.functions import urls as U
+
+    e_schema = StructType([
+        StructField("status", StringType()),
+        StructField("text", StringType()),
+        StructField("post_time", StringType()),
+    ])
+
+    @F.pandas_udf(e_schema)
+    def fake_extract(url, html):
+        import pandas as pd
+        return pd.DataFrame({
+            "status": ["ok"] * len(url),
+            "text": html.apply(lambda b: b.decode()),
+            "post_time": [None] * len(url),
+        })
+
+    pages_rows = [(f"http://h{i % 3}.example.com/p{i}", f"body-{i}".encode())
+                  for i in range(50)]
+    # one duplicated url with DIFFERENT html (untrusted input)
+    pages_rows.append((pages_rows[7][0], b"zzz-alternate"))
+    pages = spark.createDataFrame(pages_rows, "url string, html binary").repartition(6)
+    scheduled = (
+        spark.createDataFrame(
+            [(u,) for u, _ in pages_rows[:20]], "url string"
+        ).distinct()
+        .withColumn("url_hash", U.url_hash(F.col("url")))
+    )
+
+    out = scan_extract(pages, scheduled, fake_extract, unique_urls=False)
+    assert out.count() == 20  # one row per scheduled url despite the dup page
+    got = {r.url: r["e"]["text"] for r in out.collect()}
+    assert got[pages_rows[7][0]] in ("body-7", "zzz-alternate")
+    # non-dup urls extract their own html byte-exactly
+    assert got[pages_rows[3][0]] == "body-3"
+
+    # scheduled urls absent from pages surface as null structs (fetch miss)
+    sched_miss = (
+        spark.createDataFrame(
+            [("http://h9.example.com/missing",), (pages_rows[1][0],)],
+            "url string",
+        ).withColumn("url_hash", U.url_hash(F.col("url")))
+    )
+    out2 = scan_extract(pages, sched_miss, fake_extract)
+    rows = {r.url: r["e"] for r in out2.collect()}
+    assert rows["http://h9.example.com/missing"] is None
+    assert rows[pages_rows[1][0]]["text"] == "body-1"
+
+
+def test_scan_extract_empty_schedule(spark):
+    from pyspark.sql import functions as F
+
+    from eastmoneygubacrawler_spark.engine.fetch import scan_extract
+    from eastmoneygubacrawler_spark.functions import urls as U
+    from eastmoneygubacrawler_spark.functions.extract import extract_text_udf
+
+    pages = spark.createDataFrame([("http://x.com/a", b"<html></html>")],
+                                  "url string, html binary")
+    empty = (spark.createDataFrame([], "url string")
+             .withColumn("url_hash", U.url_hash(F.col("url"))))
+    assert scan_extract(pages, empty, extract_text_udf).count() == 0
