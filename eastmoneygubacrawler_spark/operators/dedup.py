@@ -321,6 +321,7 @@ def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 8, n_tables: int = 12, dim: int = 64, seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via hyperplane-LSH buckets + exact-cosine verify.
 
@@ -333,6 +334,14 @@ def embedding_near_dups(
     sf0.001/0.01/0.1 (tests/test_dedup.py) — sign-of-dot-product signatures
     are norm-invariant, and all n_tables signatures are computed in ONE
     vectorized numpy matmul per Arrow batch.
+
+    ``max_bucket_size``: the same super-bucket skew guard as
+    ``minhash_lsh_pairs`` — boilerplate/zero-ish vectors can collapse into
+    one bucket of B members (B²/2 candidates in ONE join task); buckets over
+    the cap are dropped from candidate generation.  A true pair survives via
+    any of its other, under-cap tables, so recall degrades only for pairs
+    whose EVERY shared bucket is degenerate.  None keeps exact LSH semantics
+    (the oracle-gated configuration).
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -355,6 +364,13 @@ def embedding_near_dups(
         F.col(id_col).alias("_id"),
         F.posexplode(_sigs(F.col(vec_col))).alias("table", "bucket"),
     )
+    if max_bucket_size is not None:
+        w_size = Window.partitionBy("table", "bucket")
+        sigs = (
+            sigs.withColumn("_bsz", F.count("*").over(w_size))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = sigs.alias("a")
     b = sigs.alias("b")
     cand = (

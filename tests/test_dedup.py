@@ -188,3 +188,30 @@ def test_minhash_lsh_super_bucket_cap(spark):
     }
     assert (100, 101) in uncapped and (0, 1) in uncapped
     assert capped == {(100, 101)}  # boilerplate pairs gone, true pair kept
+
+
+def test_embedding_lsh_super_bucket_cap(spark):
+    """Skew guard parity with minhash_lsh_pairs: 40 identical boilerplate
+    vectors form one degenerate bucket in EVERY table (B²/2 candidates in one
+    task at scale) — the cap drops them while a distinct true near-dup pair
+    in small buckets survives with exact cosine."""
+    import numpy as np
+
+    from eastmoneygubacrawler_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(7)
+    boiler = rng.normal(size=64)
+    u = rng.normal(size=64)
+    rows = [(i, [float(x) for x in boiler]) for i in range(40)]
+    rows.append((100, [float(x) for x in u]))
+    rows.append((101, [float(x) for x in (u + 0.05 * rng.normal(size=64))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.9, vec_col="embedding", n_planes=8, n_tables=12, dim=64)
+    uncapped = {(r.id_a, r.id_b) for r in embedding_near_dups(emb, **kw).collect()}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, max_bucket_size=10, **kw).collect()
+    }
+    assert (100, 101) in uncapped and (0, 1) in uncapped
+    assert capped == {(100, 101)}
