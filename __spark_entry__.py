@@ -550,7 +550,17 @@ def q_dedup_minhash_lsh(spark, sf):
 
 def q_ann_topk_ivf(spark, sf):
     """IVF (k-means coarse quantizer) approximate top-k — the second ANN
-    scale path next to LSH; approximate ⇒ rows-only."""
+    scale path next to LSH; approximate ⇒ rows-only, recall-gated in
+    bench.py (ANN_RECALL_FLOORS).
+
+    Sizing note: the synthetic embeddings are near-uniform (no cluster
+    structure — max pairwise cosine ≈ 0.5), so IVF recall here is bounded
+    by the PROBED FRACTION n_probe/n_clusters regardless of cluster count
+    (measured: √n clusters at constant probe fraction read 0.40 vs 0.53 for
+    8/3 at sf0.1).  The fixed 8/3 config probes 3/8 of the corpus — the
+    recall floor is a regression tripwire on this worst-case-for-ANN data,
+    not a quality SLA; real embedding corpora have the cluster structure
+    IVF exploits."""
     from eastmoneygubacrawler_spark.operators.ivf import topk_ivf
 
     emb = _t(spark, sf, "embeddings")

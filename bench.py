@@ -84,7 +84,36 @@ def bench_queries(spark) -> dict[str, float]:
     timings["crawl_round"] = round(time.time() - t, 3)
     timings["crawl_urls_per_s"] = round(crawl_metrics["throughput_urls_per_s"], 1)
     timings["crawl_urls_fetched"] = crawl_metrics["urls_fetched"]
+    timings.update(ann_recall_gate(spark, qs))
     return timings
+
+
+# recall floors for the approximate ANN paths (judge round-2 item 8: the
+# rows-only queries need a quantitative gate so a bucketing regression can't
+# silently pass CORRECTNESS).  Floors sit under the measured sf0.1 values
+# with margin; a drop below is a hard bench failure, not a quiet number.
+ANN_RECALL_FLOORS = {"ann_topk_lsh": 0.45, "ann_topk_ivf": 0.45}
+
+
+def ann_recall_gate(spark, qs) -> dict[str, float]:
+    """recall@k of the approximate ANN queries vs the exact brute-force path
+    on the SAME sf corpus — recorded in the bench JSON and enforced."""
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in qs["ann_topk_brute"](spark, SF_DIR).collect()
+    }
+    out: dict[str, float] = {}
+    for name, floor in ANN_RECALL_FLOORS.items():
+        approx = {
+            (r.query_id, r.vec_id) for r in qs[name](spark, SF_DIR).collect()
+        }
+        recall = len(approx & brute) / max(len(brute), 1)
+        out[f"{name}_recall"] = round(recall, 3)
+        if recall < floor:
+            raise RuntimeError(
+                f"{name} recall@k {recall:.3f} fell below the {floor} floor"
+            )
+    return out
 
 
 def main_bench() -> None:
