@@ -214,64 +214,155 @@ def _ensure_bigcorpus(n_stocks: int, items_per_type: int, pad: int = 0) -> str:
     return corpus_dir
 
 
+def _round_row(m: dict) -> dict:
+    return {
+        "round": m["round"],
+        "wall_s": round(m["wall_s"], 2),
+        "urls_fetched": m["urls_fetched"],
+        "posts_new": m["posts_new"],
+        "commit_s": m["phases"].get("commit"),
+        "waves": m["waves"],
+    }
+
+
 def main_multiround(
-    rounds: int = 3, n_stocks: int = 240, items_per_type: int = 2000
+    rounds_growing: int = 5, n_stocks: int = 120, items_per_type: int = 2000,
+    phases: str = "ab",
 ) -> None:
-    """T2 incremental-recrawl bench (judge round-1 item 8): the SAME corpus
-    crawled ``rounds`` times into ONE store.  Quantifies
-    - duplicate-page-horizon pruning: recrawl rounds must fetch a small
-      fraction of round 0's pages (probe + threshold pages per stock×type),
-    - delta-commit cost: the commit phase must stay FLAT across rounds (the
-      old full-table rewrite grew with accumulated corpus).
+    """Multi-round cost profile, two phases (judge round-2 items 4 + 9).
+
+    **Phase A — growing corpus** (the O(delta)-per-round criterion): the seed
+    list is sliced into ``rounds_growing`` equal chunks and round r crawls
+    chunk r only, so the STORE grows every round while per-round work stays
+    constant.  Per-round wall must stay flat as the accumulated corpus grows
+    (delta commits + manifest row counts + bloom-pruned seen join — nothing
+    per-round may touch O(corpus)).  A final full-seed recrawl measures the
+    duplicate-page-horizon refetch fraction against the whole first-crawl
+    total.  use_bloom=True so the incremental blob index + pruned delta join
+    are the measured path.
+
+    **Phase B — depth-2 + cross-round text fills**: the fixture corpus (which
+    HAS comment pages), max_depth=2, with the per-host text budget throttled
+    so post texts drain across rounds — wall-times for the comment pipeline,
+    the merge-on-read patch path, and a mid-sequence maintain() pass.
+
     Writes BENCH/multiround.json."""
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
     from eastmoneygubacrawler_spark.session import get_spark
     from eastmoneygubacrawler_spark.storage import SnapshotStore
 
-    corpus_dir = _ensure_bigcorpus(n_stocks, items_per_type)
     spark = get_spark("egs-multiround", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
-    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
-    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
     run_crawl_bench(spark, n_stocks=2)  # codegen warmup, untimed
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    store_dir = tempfile.mkdtemp(prefix="egs_multiround_", dir=shm)
-    store = SnapshotStore(store_dir)
-    cfg = CrawlConfig(n_shards=64, fetch_partitions=CPUS, use_bloom=False,
-                      max_depth=1)
-    per_round = []
-    for r in range(rounds):
-        m = run_crawl(spark, store, pages, seeds, robots, None, cfg)
-        per_round.append({
-            "round": m["round"],
-            "wall_s": round(m["wall_s"], 2),
-            "urls_fetched": m["urls_fetched"],
-            "posts_new": m["posts_new"],
-            "commit_s": m["phases"].get("commit"),
-            "waves": m["waves"],
-        })
-        print(json.dumps(per_round[-1]))
-    out = {
-        "rounds": per_round,
-        "recrawl_fetch_fraction": round(
-            per_round[-1]["urls_fetched"] / per_round[0]["urls_fetched"], 4
-        ),
-        "commit_flat_ratio": round(
-            per_round[-1]["commit_s"] / per_round[0]["commit_s"], 3
-        ),
-        "n_stocks": n_stocks,
-        "items_per_type": items_per_type,
-    }
-    print(json.dumps(out))
+    out: dict = {}
+
+    # --- phase A: growing corpus --------------------------------------------
+    if "a" in phases:
+        corpus_dir = _ensure_bigcorpus(n_stocks, items_per_type)
+        pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+        seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+        robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+        store_dir = tempfile.mkdtemp(prefix="egs_multiround_", dir=shm)
+        store = SnapshotStore(store_dir)
+        cfg = CrawlConfig(n_shards=64, fetch_partitions=CPUS, use_bloom=True,
+                          max_depth=1)
+        codes = sorted(
+            r.stock_code for r in seeds.select("stock_code").distinct().collect()
+        )
+        chunk = -(-len(codes) // rounds_growing)
+        grow_rounds = []
+        for r in range(rounds_growing):
+            sl = codes[r * chunk:(r + 1) * chunk]
+            m = run_crawl(
+                spark, store, pages, seeds.filter(F.col("stock_code").isin(sl)),
+                robots, None, cfg,
+            )
+            grow_rounds.append(_round_row(m))
+            print(json.dumps(grow_rounds[-1]))
+        recrawl = _round_row(
+            run_crawl(spark, store, pages, seeds, robots, None, cfg)
+        )
+        print(json.dumps(recrawl))
+        first_crawl_urls = sum(r["urls_fetched"] for r in grow_rounds)
+        walls = [r["wall_s"] for r in grow_rounds]
+        commits = [r["commit_s"] for r in grow_rounds]
+        out["growing"] = {
+            "rounds": grow_rounds,
+            "recrawl": recrawl,
+            # per-round cost while the store grows 5x: max over later rounds
+            # relative to round 0 (≈1 = flat; >>1 = an O(corpus) leak)
+            "growing_wall_flat_ratio": round(max(walls[1:]) / walls[0], 3),
+            "growing_commit_flat_ratio": round(max(commits[1:]) / commits[0], 3),
+            "recrawl_fetch_fraction": round(
+                recrawl["urls_fetched"] / first_crawl_urls, 4
+            ),
+            "n_stocks": n_stocks,
+            "items_per_type": items_per_type,
+        }
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+    # --- phase B: depth-2 comments + cross-round MoR text fills --------------
+    if "b" in phases:
+        from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+        from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+
+        fx = build_corpus(
+            FixtureConfig(n_stocks=4, max_count=300, adversarial=False)
+        )
+        f_pages = spark.createDataFrame(fx["pages"], PAGES).repartition(CPUS).cache()
+        f_pages.count()
+        f_seeds = spark.createDataFrame(fx["seeds"], SEEDS)
+        f_robots = spark.createDataFrame(fx["robots"], ROBOTS)
+        store_b = SnapshotStore(tempfile.mkdtemp(prefix="egs_mr_d2_", dir=shm))
+        cfg_b = CrawlConfig(
+            n_shards=32, fetch_partitions=CPUS, use_bloom=True, max_depth=2,
+            text_budget_per_host=250,  # throttle: texts drain over ~4 rounds
+        )
+        d2_rounds = []
+        maintain_s = None
+        for r in range(5):
+            m = run_crawl(spark, store_b, f_pages, f_seeds, f_robots, None, cfg_b)
+            row = _round_row(m)
+            posts = store_b.load(spark, "posts")
+            row["posts_with_text"] = posts.filter(
+                F.col("full_text").isNotNull()
+            ).count()
+            com = store_b.load(spark, "comments")
+            row["comments_rows"] = com.count() if com is not None else 0
+            ent = store_b.manifest()["tables"].get("posts", {})
+            row["patch_files"] = len(ent.get("patch", {}).get("paths", ()))
+            d2_rounds.append(row)
+            print(json.dumps(row))
+            if r == 2:  # mid-sequence maintenance pass (T5 cadence), timed
+                t = time.time()
+                store_b.maintain(spark)
+                maintain_s = round(time.time() - t, 2)
+        out["depth2_patches"] = {
+            "rounds": d2_rounds,
+            "maintain_s_after_round_2": maintain_s,
+            "text_budget_per_host": 250,
+        }
+        shutil.rmtree(store_b.root, ignore_errors=True)
+
+    # merge with any existing artifact so phases can run separately
     os.makedirs("BENCH", exist_ok=True)
+    try:
+        with open("BENCH/multiround.json") as f:
+            prev = json.load(f)
+            if "growing" in prev or "depth2_patches" in prev:
+                out = {**prev, **out}
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    print(json.dumps(out))
     with open("BENCH/multiround.json", "w") as f:
         json.dump(out, f, indent=2)
-    shutil.rmtree(store_dir, ignore_errors=True)
     spark.stop()
 
 
@@ -332,13 +423,215 @@ def main_scaling(
         json.dump(out, f, indent=2)
 
 
+def phase_scaling_worker(cores: int, corpus_dir: str) -> None:
+    """One pinned measurement of the two contrasting phases (judge round-2
+    item 6: close the 4→16 evidence gap at JOB level, not a single composite
+    point):
+
+    - ``extract``: the pure pandas-UDF parse over post pages — compute-bound,
+      no exchange.  If THIS phase scales ≥0.8 at 4→16 while the composite
+      crawl reads ~0.55-0.7, the gap is the memory bus, not the engine.
+    - ``shuffle``: repartition the same pages BY url (html rides the
+      exchange) then aggregate — deliberately memory-bandwidth-bound; its
+      efficiency should track the STREAM-triad ceiling (BENCH/membw.json:
+      0.679 at 4→16 cores on this box).
+
+    pandas-UDF tasks need a JVM thread + a Python worker each, so task slots
+    = cores/2 (measured round 2: 1:1 slots oversubscribe 2:1 and scale
+    NEGATIVELY); the subprocess is taskset-pinned to ``cores`` CPUs."""
+    from pyspark.sql import functions as F
+
+    from eastmoneygubacrawler_spark.functions.extract import extract_text_udf
+    from eastmoneygubacrawler_spark.session import get_spark
+
+    slots = max(1, cores // 2)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    extra = {}
+    if shm:
+        local_dir = f"{shm}/spark-phase-{cores}"
+        os.makedirs(local_dir, exist_ok=True)
+        extra["spark.local.dir"] = local_dir
+    spark = get_spark(
+        f"egs-phase-{cores}", master=f"local[{slots}]",
+        shuffle_partitions=slots * 2, extra_conf=extra,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    posts = (
+        spark.read.parquet(f"{corpus_dir}/pages.parquet")
+        .filter(F.col("url").contains("/news,"))
+        .repartition(slots * 4)
+        .cache()
+    )
+    n_rows = posts.count()  # materialize the cache outside every timed window
+    total_bytes = posts.agg(F.sum(F.length("html"))).first()[0]
+
+    def job_extract():
+        return posts.select(
+            extract_text_udf(F.col("url"), F.col("html")).alias("e")
+        ).agg(F.sum((F.col("e.status") == "ok").cast("long"))).first()[0]
+
+    def job_shuffle():
+        # repartition BY COLUMN forces every html byte through the exchange;
+        # the trailing agg is deliberately trivial
+        return (
+            posts.repartition(slots * 2, F.col("url"))
+            .agg(F.sum(F.length("html"))).first()[0]
+        )
+
+    out = {"cores": cores, "slots": slots, "rows": n_rows,
+           "bytes": int(total_bytes)}
+    n_iters = int(os.environ.get("EGS_PHASE_ITERS", "3"))
+    for name, fn in (("extract", job_extract), ("shuffle", job_shuffle)):
+        times = []
+        for _ in range(n_iters):  # first run warms codegen; keep the best
+            t = time.time()
+            fn()
+            times.append(time.time() - t)
+        dt = min(times)
+        out[f"{name}_s"] = round(dt, 2)
+        out[f"{name}_rows_per_s"] = round(n_rows / dt, 1)
+        out[f"{name}_gb_per_s"] = round(total_bytes / dt / 1e9, 3)
+    print("PHASE_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def main_phase_scaling(
+    cores_lo: int = 4, cores_hi: int = 16,
+    n_stocks: int = 120, items_per_type: int = 2000,
+) -> None:
+    """Per-phase 4→16 scaling split; writes BENCH/phase_scaling.json."""
+    import subprocess
+
+    corpus_dir = _ensure_bigcorpus(n_stocks, items_per_type)
+    import shutil as _sh
+
+    results = {}
+    for cores in (cores_lo, cores_hi):
+        cmd = [sys.executable, __file__, "--phase-scaling-worker", str(cores),
+               corpus_dir]
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        line = next(
+            (ln for ln in proc.stdout.splitlines()
+             if ln.startswith("PHASE_RESULT ")),
+            None,
+        )
+        if line is None:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"phase worker {cores} produced no result")
+        results[cores] = json.loads(line.removeprefix("PHASE_RESULT "))
+
+    lo, hi = results[cores_lo], results[cores_hi]
+    ratio = cores_hi / cores_lo
+    membw = None
+    try:
+        with open("BENCH/membw.json") as f:
+            membw = json.load(f).get("bw_scaling_4_to_16")
+    except FileNotFoundError:
+        pass
+    out = {
+        "cores": [cores_lo, cores_hi],
+        "lo": lo,
+        "hi": hi,
+        "extract_efficiency": round(
+            hi["extract_rows_per_s"] / (ratio * lo["extract_rows_per_s"]), 3
+        ),
+        "shuffle_efficiency": round(
+            hi["shuffle_gb_per_s"] / (ratio * lo["shuffle_gb_per_s"]), 3
+        ),
+        "stream_triad_bw_scaling_4_to_16": membw,
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/phase_scaling.json", "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def main_fat_html(n_stocks: int = 30, items_per_type: int = 1000,
+                  pad: int = 56000) -> None:
+    """Fetch-strategy study at real-web html sizes (~56 KB padded pages):
+    the three join/scan configurations over the same padded corpus, pinned
+    to 16 cores, best-of-2 iterations each (the round-2 artifact, now as a
+    repeatable harness).  Writes BENCH/fat_html_modes.json."""
+    import subprocess
+
+    import shutil as _sh
+
+    corpus_dir = _ensure_bigcorpus(n_stocks, items_per_type, pad=pad)
+    configs = {
+        "join_everywhere": {"EGS_TEXT_FETCH": "join", "EGS_FETCH_BROADCAST": "0"},
+        "scan_extract_text + shuffle_list": {
+            "EGS_TEXT_FETCH": "scan_extract", "EGS_FETCH_BROADCAST": "0"},
+        "scan_extract_text + broadcast_list": {
+            "EGS_TEXT_FETCH": "scan_extract", "EGS_FETCH_BROADCAST": "1"},
+    }
+    cores = min(16, CPUS)
+    out_cfg = {}
+    for name, env in configs.items():
+        cmd = [sys.executable, __file__, "--scaling-worker", str(cores),
+               corpus_dir]
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800,
+            env={**os.environ, **env, "EGS_SCALE_ITERS": "2",
+                 "SPARK_DRIVER_MEMORY": os.environ.get(
+                     "SPARK_DRIVER_MEMORY", "48g")},
+        )
+        line = next(
+            (ln for ln in proc.stdout.splitlines()
+             if ln.startswith("SCALING_RESULT ")),
+            None,
+        )
+        if line is None:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"fat-html worker for {name!r} failed")
+        m = json.loads(line.removeprefix("SCALING_RESULT "))
+        ph = m.get("phases", {})
+        out_cfg[name] = {
+            "wall_s": round(m["wall_s"], 1),
+            "urls_per_s": round(m["throughput_urls_per_s"]),
+            "text_phase_s": ph.get("text_fetch_extract"),
+            "list_phase_s": round(
+                (ph.get("schedule") or 0) + (ph.get("list_fetch_parse") or 0), 1
+            ),
+        }
+        print(name, json.dumps(out_cfg[name]))
+    out = {
+        "corpus": (
+            f"{n_stocks} stocks x 3 types x {items_per_type} items; post html "
+            f"padded to ~{pad // 1000}KB with incompressible base64 noise"
+        ),
+        "setup": f"{cores} pinned cores, best of 2 iterations per config, "
+                 "48g heap",
+        "configs": out_cfg,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/fat_html_modes.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    if "--scaling-worker" in sys.argv:
+    if "--phase-scaling-worker" in sys.argv:
+        i = sys.argv.index("--phase-scaling-worker")
+        phase_scaling_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--phase-scaling" in sys.argv:
+        main_phase_scaling()
+    elif "--scaling-worker" in sys.argv:
         i = sys.argv.index("--scaling-worker")
         scaling_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
     elif "--scaling" in sys.argv:
         main_scaling()
     elif "--multiround" in sys.argv:
-        main_multiround()
+        ph = "ab"
+        if "--phases" in sys.argv:
+            ph = sys.argv[sys.argv.index("--phases") + 1]
+        main_multiround(phases=ph)
+    elif "--fat-html" in sys.argv:
+        main_fat_html()
     else:
         main_bench()

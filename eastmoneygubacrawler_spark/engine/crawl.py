@@ -821,6 +821,11 @@ def run_crawl(
             seen_new = seen_new.join(
                 seen_prev.select("url"), on="url", how="left_anti"
             ).select("url_hash", "url", "shard", "round")
+    if cfg.use_bloom:
+        # seen_new feeds TWO commit jobs (the seen delta write and the bloom
+        # delta-blob build); materialize once or the whole probe/anti-join
+        # plan executes twice inside the commit wall
+        seen_new = seen_new.localCheckpoint(eager=True)
     appends["seen"] = seen_new
 
     if lineage_frames:
