@@ -204,6 +204,47 @@ def q_s10_task_queue(spark, sf):
     )
 
 
+def q_p9_ua_rotation(spark, sf):
+    """P9 UA rotation as data (reference core/user_agent_manager.py:16-121):
+    blacklist-filtered availability, sequential round-robin by global fetch
+    rank (two-phase distributed), and the seeded 'random' mode with
+    avoid-consecutive per host — both assignments fully reproducible in
+    DuckDB."""
+    from eastmoneygubacrawler_spark.operators.useragents import (
+        assign_user_agents,
+        available_user_agents,
+    )
+
+    rows = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.format_string(
+                "https://h%d.example.com/o/%d",
+                F.pmod(F.col("o_orderkey"), F.lit(4)),
+                F.col("o_orderkey"),
+            ).alias("url"),
+            F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("host"),
+        )
+    )
+    uas = spark.range(8).select(
+        F.concat(F.lit("UA-"), F.col("id").cast("string")).alias("ua"),
+        F.col("id").alias("ua_rank"),
+    )
+    blacklist = spark.createDataFrame(
+        [("UA-2", 9e9), ("UA-5", 1.0)], "ua string, until_ts double"
+    )
+    avail = available_user_agents(uas, blacklist, now_ts=1000.0)
+    seq = assign_user_agents(
+        rows, avail, mode="sequential", order_cols=["okey"], n_partitions=8
+    ).select("okey", "url", F.col("ua").alias("ua_seq"))
+    rnd = assign_user_agents(
+        rows, avail, mode="random", order_cols=["okey"]
+    ).select("okey", F.col("ua").alias("ua_rand"))
+    return seq.join(rnd, on="okey")
+
+
 def q_x9_year_infer(spark, sf):
     from eastmoneygubacrawler_spark.operators.year_infer import infer_year
 
@@ -684,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_ip_scrape": q_x16_ip_scrape,
         "s8_proxy_sources": q_s8_proxy_sources,
         "s10_task_queue": q_s10_task_queue,
+        "p9_ua_rotation": q_p9_ua_rotation,
         "j1_seen_antijoin": q_j1_seen_antijoin,
         "j4_horizon": q_j4_horizon,
         "o_crawl_rank": q_o_crawl_rank,
@@ -985,6 +1027,51 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS claim_rank
             FROM queue q JOIN configs c ON c.id = q.task_config_id
             WHERE q.status = 'pending' AND c.is_active = 1
+        """,
+        "p9_ua_rotation": """
+            WITH rows_ AS (
+                SELECT o_orderkey AS okey,
+                       printf('https://h%d.example.com/o/%d',
+                              CAST(o_orderkey % 4 AS INT), o_orderkey) AS url,
+                       CAST(o_orderkey % 4 AS INT) AS host
+                FROM orders WHERE o_orderkey < 2000
+            ),
+            uas AS (
+                SELECT 'UA-' || CAST(i AS VARCHAR) AS ua, i AS ua_rank
+                FROM unnest(range(0, 8)) AS u(i)
+            ),
+            bl AS (SELECT * FROM (VALUES ('UA-2', 9e9), ('UA-5', 1.0)) t(ua, until_ts)),
+            avail AS (
+                SELECT ua, row_number() OVER (ORDER BY ua_rank) - 1 AS ua_slot
+                FROM uas
+                WHERE ua NOT IN (SELECT ua FROM bl WHERE until_ts > 1000)
+            ),
+            n AS (SELECT count(*) AS n FROM avail),
+            seq AS (
+                SELECT okey, url,
+                       (row_number() OVER (ORDER BY okey) - 1) % (SELECT n FROM n)
+                           AS slot_seq
+                FROM rows_
+            ),
+            rnd AS (
+                SELECT okey, host,
+                       (ascii(substring(md5(url), 1, 1)) * 16
+                        + ascii(substring(md5(url), 2, 1))) % (SELECT n FROM n)
+                           AS raw
+                FROM rows_
+            ),
+            rnd2 AS (
+                SELECT okey, raw,
+                       lag(raw) OVER (PARTITION BY host ORDER BY okey) AS prev
+                FROM rnd
+            )
+            SELECT s.okey, s.url, a1.ua AS ua_seq, a2.ua AS ua_rand
+            FROM seq s
+            JOIN rnd2 r ON r.okey = s.okey
+            JOIN avail a1 ON a1.ua_slot = s.slot_seq
+            JOIN avail a2 ON a2.ua_slot =
+                CASE WHEN r.raw = r.prev THEN (r.raw + 1) % (SELECT n FROM n)
+                     ELSE r.raw END
         """,
         "j1_seen_antijoin": """
             SELECT l_returnflag, count(*) AS n_new FROM lineitem
