@@ -550,11 +550,13 @@ def main_phase_scaling(
 
 
 def main_fat_html(n_stocks: int = 30, items_per_type: int = 1000,
-                  pad: int = 56000) -> None:
+                  pad: int = 56000, only: str | None = None) -> None:
     """Fetch-strategy study at real-web html sizes (~56 KB padded pages):
     the three join/scan configurations over the same padded corpus, pinned
     to 16 cores, best-of-2 iterations each (the round-2 artifact, now as a
-    repeatable harness).  Writes BENCH/fat_html_modes.json."""
+    repeatable harness).  ``only``: substring filter to run one config at a
+    time (results merge into the artifact).  Writes
+    BENCH/fat_html_modes.json."""
     import subprocess
 
     import shutil as _sh
@@ -567,8 +569,15 @@ def main_fat_html(n_stocks: int = 30, items_per_type: int = 1000,
         "scan_extract_text + broadcast_list": {
             "EGS_TEXT_FETCH": "scan_extract", "EGS_FETCH_BROADCAST": "1"},
     }
+    if only:
+        configs = {k: v for k, v in configs.items() if only in k}
     cores = min(16, CPUS)
     out_cfg = {}
+    try:
+        with open("BENCH/fat_html_modes.json") as f:
+            out_cfg = json.load(f).get("configs", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     for name, env in configs.items():
         cmd = [sys.executable, __file__, "--scaling-worker", str(cores),
                corpus_dir]
@@ -632,6 +641,9 @@ if __name__ == "__main__":
             ph = sys.argv[sys.argv.index("--phases") + 1]
         main_multiround(phases=ph)
     elif "--fat-html" in sys.argv:
-        main_fat_html()
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1]
+        main_fat_html(only=only)
     else:
         main_bench()

@@ -502,9 +502,11 @@ def run_crawl(
         d1_cand = d1_cand.cache()
 
         text_budget = cfg.text_budget_per_host or cfg.budget_per_host
+        # cache: the schedule feeds the fetch/scan, the pending anti-join,
+        # and (scan_extract mode) the sizing count + distributed blob build
         scheduled = FR.politeness_schedule(
             d1_cand, text_budget, host_budgets=text_budgets
-        )
+        ).cache()
         unscheduled = d1_cand.join(scheduled.select("url"), "url", "left_anti")
         if cfg.text_fetch_mode == "scan_extract":
             from .fetch import scan_extract
@@ -684,7 +686,7 @@ def run_crawl(
             text_budget = cfg.text_budget_per_host or cfg.budget_per_host
             c_sched = FR.politeness_schedule(
                 d2_cand, text_budget, host_budgets=text_budgets
-            )
+            ).cache()
             c_unsched = d2_cand.join(c_sched.select("url"), "url", "left_anti")
 
             from ..functions.extract import parse_reply_page_udf
