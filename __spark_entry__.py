@@ -426,6 +426,23 @@ def q_dedup_simhash(spark, sf):
     return simhash32(_t(spark, sf, "documents"))
 
 
+def q_doc_winnow(spark, sf):
+    """Winnowing (rolling-hash) document fingerprints — (doc_id, fp) pairs;
+    pure Catalyst array algebra, md5-portable so the DuckDB oracle rebuilds
+    the exact fingerprint set (operators/dedup.py winnow_fingerprints)."""
+    from eastmoneygubacrawler_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf, "documents"), k=5, w=4)
+
+
+def q_dedup_winnow(spark, sf):
+    """Near-dup pairs by winnowing-fingerprint containment
+    |fp∩| / min(|fp|) ≥ 0.5 — the MOSS similarity report as a dataframe."""
+    from eastmoneygubacrawler_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf, "documents"), k=5, w=4, threshold=0.5)
+
+
 def q_dedup_components(spark, sf):
     """Near-dup GROUPS: connected components over the n-gram-Jaccard pair
     graph (iterative min-label propagation; oracle = DuckDB recursive CTE).
@@ -740,6 +757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "doc_winnow": q_doc_winnow,
+        "dedup_winnow": q_dedup_winnow,
         "dedup_components": q_dedup_components,
         "corpus_clean_pipeline": q_corpus_clean_pipeline,
         "corpus_clean_pipeline_lsh": q_corpus_clean_pipeline_lsh,
@@ -762,6 +781,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _sql_norm_text(col: str = "text") -> str:
     return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _sql_winnow_fps(k: int = 5, w: int = 4) -> str:
+    """(doc_id, fp) winnowing fingerprints — DuckDB list comprehensions over
+    1-based inclusive string/list slices mirror Catalyst sequence/transform/
+    slice exactly (verified bit-for-bit; both hash k-grams with md5 and take
+    lexicographic window minima of the hex strings)."""
+    return f"""
+        WITH norm AS (
+            SELECT doc_id, {_sql_norm_text()} AS t FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   [md5(t[i:i+{k}-1])
+                    for i in range(1, greatest(length(t)-{k}+1, 1)+1)] AS hs
+            FROM norm
+        ),
+        fpl AS (
+            SELECT doc_id,
+                   list_distinct(
+                       [list_min(hs[j:j+{w}-1])
+                        for j in range(1, greatest(len(hs)-{w}+1, 1)+1)]) AS f
+            FROM grams
+        )
+        SELECT DISTINCT doc_id, unnest(f) AS fp FROM fpl
+    """
 
 
 def _sql_shingles(n: int = 3) -> str:
@@ -1235,6 +1280,23 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node
         """,
         "dedup_simhash": _sql_simhash(),
+        "doc_winnow": _sql_winnow_fps(5, 4),
+        "dedup_winnow": f"""
+            WITH fp AS ({_sql_winnow_fps(5, 4)}),
+            sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_shared
+                FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_shared / least(sa.n_fp, sb.n_fp), 6) AS containment
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(n_shared / least(sa.n_fp, sb.n_fp), 6) >= 0.5
+        """,
         "text_quality": _sql_text_quality(),
         "tokenize": f"""
             SELECT doc_id,

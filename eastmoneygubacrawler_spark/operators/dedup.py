@@ -441,3 +441,120 @@ def embedding_near_dups_brute(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm): hash every character k-gram of the normalized
+    text, then keep the MINIMUM hash of each sliding window of ``w``
+    consecutive k-gram hashes.  Guarantee: any shared substring of length
+    ≥ w + k − 1 between two documents shares at least one fingerprint, while
+    the retained set is ~2/(w+1) of all k-gram hashes.
+
+    The classic presentation rolls a Rabin-Karp polynomial hash across the
+    text purely as a CPU optimization; the *fingerprint semantics* only need
+    a hash per k-gram, so this uses md5(k-gram) — bit-for-bit reproducible
+    in any SQL engine (same portability rule as the MinHash construction
+    above; window minima compare md5 hex strings lexicographically, which
+    DuckDB orders identically).
+
+    Entirely Catalyst array algebra (sequence/transform/slice/array_min) —
+    no UDF, no shuffle until the final distinct.  The three stages are
+    SEPARATE projections on purpose: higher-order-function lambdas evaluate
+    interpreted (outside whole-stage codegen) with NO common-subexpression
+    elimination, so inlining the normalized text into the per-gram lambda
+    re-runs the regex normalization once per character position, and
+    inlining the gram-hash array into the per-window lambda recomputes every
+    hash per window — an O(len²) blowup per document (measured: minutes for
+    500 ×300-char docs, vs sub-second staged).  Each stage references the
+    previous stage's column twice, which stops ``CollapseProject`` from
+    re-inlining the expensive producer expression.
+    """
+    from ..functions.textfn import norm_ws
+
+    txt = F.col("_wt")
+    gram_idx = F.sequence(
+        F.lit(1), F.greatest(F.length(txt) - k + 1, F.lit(1))
+    )
+    hashes = F.col("_whs")
+    win_idx = F.sequence(
+        F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(1))
+    )
+    fps = F.array_distinct(
+        F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            norm_ws(F.lower(F.col(text_col))).alias("_wt"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                gram_idx, lambda i: F.md5(txt.substr(i, F.lit(k)))
+            ).alias("_whs"),
+        )
+        .select("doc_id", F.explode(fps).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame, k: int = 5, w: int = 4, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints — the containment
+    score MOSS reports: |fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|) ≥ threshold.
+
+    Same shuffle shape as the LSH band join: fingerprints ARE the buckets,
+    so candidate generation is an equi-join on fp (candidates ∝ shared
+    content, never corpus²), one groupBy to count shared prints, and a
+    broadcast-size join against the per-doc fingerprint counts.
+
+    ``max_bucket_size``: identical skew guard to ``minhash_lsh_pairs`` — a
+    fingerprint shared by B docs (site boilerplate) yields B²/2 candidate
+    rows in one task; drop super-buckets past the cap (None = exact, the
+    oracle-gated configuration).
+    """
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col).cache()
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    buckets = fp
+    if max_bucket_size is not None:
+        w_size = Window.partitionBy("fp")
+        buckets = (
+            buckets.withColumn("_bsz", F.count("*").over(w_size))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    shared = (
+        a.join(b, on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("n_fp", "n_a"), "id_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("n_fp", "n_b"), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -1,0 +1,113 @@
+"""Winnowing fingerprints (operators/dedup.py winnow_fingerprints /
+winnow_pairs) — the rolling-hash document-fingerprinting operator.
+
+Reference anchor: the reference repo has no content dedup at all (its only
+dedup is the url-unique constraint, core/crawler.py:726-733); winnowing is
+the standard fingerprinting pass a training-data pipeline adds on top
+(Schleimer/Wilkerson/Aiken, SIGMOD'03).  Oracle parity for both queries is
+gated in tests/test_oracle_parity.py (doc_winnow / dedup_winnow hash-match
+DuckDB); these tests pin the algorithmic guarantees the oracle can't state.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from eastmoneygubacrawler_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
+
+K, W = 5, 4
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill with great interest today"
+    )
+    return _docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " and tomorrow"),          # near-dup of 1
+            (3, "completely different content about spark query planning "
+                "and shuffle-free aggregation strategies at scale"),
+            (4, "tiny"),                           # shorter than k
+            (5, "prefix text then " + base[:40]),  # shares a 40-char span with 1
+        ],
+    )
+
+
+def test_shared_substring_guarantee(spark, corpus):
+    """Any common substring of length ≥ w+k-1 (= 8) ⇒ ≥1 shared fingerprint
+    — the winnowing paper's core guarantee."""
+    fp = winnow_fingerprints(corpus, K, W)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "near-dup docs must share fingerprints"
+    assert by_doc[1] & by_doc[5], "40-char shared span ≥ w+k-1 must be caught"
+
+
+def test_unrelated_docs_share_nothing(spark, corpus):
+    fp = winnow_fingerprints(corpus, K, W)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_short_doc_one_fingerprint(spark, corpus):
+    """Docs shorter than k still fingerprint (whole text = one gram)."""
+    fp = winnow_fingerprints(corpus, K, W).filter(F.col("doc_id") == 4)
+    assert fp.count() == 1
+
+
+def test_density_bound(spark, corpus):
+    """Winnowing keeps ~2/(w+1) of gram hashes; assert a loose upper bound
+    (distinct fps ≤ number of windows, and far below the gram count)."""
+    row = (
+        winnow_fingerprints(corpus.filter("doc_id = 1"), K, W)
+        .groupBy("doc_id").count().first()
+    )
+    text_len = len(
+        corpus.filter("doc_id = 1").select("text").first()[0]
+    )
+    n_grams = text_len - K + 1
+    assert row["count"] < n_grams, "winnowing must retain a strict subset"
+
+
+def test_pairs_containment(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in winnow_pairs(corpus, K, W, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert (1, 3) not in pairs
+
+
+def test_pairs_skew_cap(spark):
+    """A fingerprint shared by every doc is dropped past max_bucket_size;
+    pairs that ONLY shared capped prints disappear, others survive."""
+    boiler = "shared boilerplate sentence repeated on every single page here"
+    rows = [(i, boiler) for i in range(1, 7)]
+    rows += [(10, "unique pair text alpha beta gamma delta epsilon zeta eta"),
+             (11, "unique pair text alpha beta gamma delta epsilon zeta eta!")]
+    docs = _docs(spark, rows)
+    capped = winnow_pairs(docs, K, W, threshold=0.5, max_bucket_size=3)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (10, 11) in got, "small-bucket pair must survive the cap"
+    assert not any(a < 7 and b < 7 for a, b in got), "boilerplate pairs capped"
+
+
+def test_no_python_udf_in_plan(spark, corpus):
+    """Pure Catalyst: the fingerprint plan contains no Python UDF eval."""
+    plan = winnow_fingerprints(corpus, K, W)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
