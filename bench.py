@@ -67,6 +67,7 @@ def bench_queries(spark) -> dict[str, float]:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_winnow",
         "text_quality",
         "ann_topk_brute",
         "ann_topk_lsh",
@@ -160,7 +161,17 @@ def scaling_worker(cores: int, corpus_dir: str) -> None:
         os.makedirs(local_dir, exist_ok=True)
         extra["spark.local.dir"] = local_dir
         # smaller advisory size → post-AQE write parallelism matches cores
-        extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = "16m"
+        # 4m, uniformly at every level: a FIXED advisory size caps post-AQE
+        # partition count at the same value regardless of cores, so the 4N
+        # level runs the shuffle-consumer stages (list parse, posts project,
+        # commit encode) at N-level parallelism — measured 14.4k → 15.5k
+        # urls/s at 8 cores just from 16m → 4m, while 2 cores is unaffected
+        # (BENCH/scaling_2_to_8_r3.json).  On a real cluster this is the
+        # "shuffle partitions scale with the cluster" rule; AQE's
+        # parallelismFirst exists for exactly this reason.
+        extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = os.environ.get(
+            "EGS_ADVISORY_PARTITION", "4m"
+        )
     spark = get_spark(
         f"egs-scaling-{cores}", master=f"local[{cores}]",
         shuffle_partitions=cores * 2, extra_conf=extra,
