@@ -67,7 +67,13 @@ def bench_queries(spark) -> dict[str, float]:
         "dedup_exact",
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "dedup_winnow",
+        # doc_winnow (per-doc fingerprint extraction) is the timed winnowing
+        # surface; dedup_winnow pairs stay oracle-gated at sf0.01 but are
+        # excluded here — the synthetic documents table draws from a ~1000-
+        # phrase vocabulary, so its fingerprint buckets are degenerately
+        # shared (295M candidate pairs at sf0.1) in a way real web text is
+        # not; broad near-dup discovery at scale is minhash-LSH's job
+        "doc_winnow",
         "text_quality",
         "ann_topk_brute",
         "ann_topk_lsh",

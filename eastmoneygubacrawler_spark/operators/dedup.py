@@ -523,6 +523,15 @@ def winnow_pairs(
     fingerprint shared by B docs (site boilerplate) yields B²/2 candidate
     rows in one task; drop super-buckets past the cap (None = exact, the
     oracle-gated configuration).
+
+    Scale guidance: winnowing pairs are the CONTAINMENT detector (plagiarism,
+    quote/inclusion, template provenance — shared *substrings*).  For broad
+    near-dup discovery over a whole corpus prefer ``minhash_lsh_pairs``: on
+    low-entropy text (heavy boilerplate, tiny phrase vocabulary) most
+    fingerprints are shared by construction, so the fp-bucket join
+    degenerates toward all-pairs exactly like any LSH on boilerplate —
+    that is what ``max_bucket_size`` bounds, at the cost of recall on pairs
+    whose every shared print is common.
     """
     fp = winnow_fingerprints(docs, k, w, text_col, id_col).cache()
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
