@@ -666,6 +666,12 @@ def _ensure_crawl_sim_oracle() -> str:
 
     from eastmoneygubacrawler_spark.fixtures import simulate_reference_crawl
 
+    # content is fully determined by the fixture config, and the path is
+    # versioned (_v1): bump the version when the fixture generator or the
+    # simulator semantics change.  The existence fast-path keeps oracle_sql()
+    # (called for ANY single oracle) from re-running the whole simulation.
+    if os.path.exists(_CRAWL_SIM_ORACLE):
+        return _CRAWL_SIM_ORACLE
     sim = simulate_reference_crawl(_crawl_fixture_corpus())
     schema = pa.schema(
         [
@@ -683,7 +689,13 @@ def _ensure_crawl_sim_oracle() -> str:
         schema=schema,
     )
     os.makedirs(os.path.dirname(_CRAWL_SIM_ORACLE), exist_ok=True)
-    pq.write_table(table, _CRAWL_SIM_ORACLE)
+    # write-temp + atomic rename: a concurrent harness (driver + local
+    # pytest) may be mid-read_parquet on the shared path; os.replace keeps
+    # every reader on a complete file (content is deterministic, so which
+    # writer wins is irrelevant)
+    tmp = f"{_CRAWL_SIM_ORACLE}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, _CRAWL_SIM_ORACLE)
     return _CRAWL_SIM_ORACLE
 
 

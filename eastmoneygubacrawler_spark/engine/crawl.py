@@ -166,7 +166,7 @@ def run_crawl(
     # of seen URLs and double MoR patches.  Drift/lag ⇒ rebuild from seen_prev.
     bloom_prev = None
     bloom_geom = dict(
-        zip(("m", "k"), SE._bloom_params(200_000, cfg.bloom_fpp))
+        zip(("m", "k"), SE._bloom_params(SE.BLOOM_KEYS_PER_SHARD, cfg.bloom_fpp))
     ) | {"n_shards": cfg.n_shards}
     if cfg.use_bloom:
         bm = store_meta.get("seen_bloom")
@@ -470,6 +470,7 @@ def run_crawl(
     post_seen_urls = spark.createDataFrame([], "url string")
     text_ok = None
     d1_frontier_rows = None
+    bootstrap_blooms = None  # full-corpus build done at the d1 gate, if any
     if d1_cand is not None:
         d1_cand = _with_url_identity(d1_cand, cfg.n_salts)
         if cfg.apply_robots and robots is not None:
@@ -486,14 +487,17 @@ def run_crawl(
                 )
             elif cfg.use_bloom:
                 # stored blobs win (O(delta) maintenance); full build only on
-                # bootstrap (no index yet in this store)
-                shards = (
-                    bloom_prev
-                    if bloom_prev is not None
-                    else SE.build_bloom_shards(
+                # bootstrap (no index yet / stale geometry).  Checkpoint that
+                # bootstrap build — blob bytes are bounded by geometry
+                # (n_shards × m/8), never by corpus — so the commit path can
+                # reuse it instead of scanning the full seen corpus a second
+                # time in the same round.
+                if bloom_prev is not None:
+                    shards = bloom_prev
+                else:
+                    shards = bootstrap_blooms = SE.build_bloom_shards(
                         seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp
-                    )
-                )
+                    ).localCheckpoint(eager=False)
                 d1_cand = SE.filter_unseen_with_bloom(
                     d1_cand, seen_prev, shards, cfg.n_shards
                 )
@@ -918,8 +922,14 @@ def run_crawl(
         if bloom_prev is not None:
             blobs = SE.merge_bloom_shards(bloom_prev, delta_blobs)
         elif seen_prev is not None:
+            # reuse the d1 gate's checkpointed bootstrap build when it ran;
+            # a second full seen scan in the same round is pure waste
             blobs = SE.merge_bloom_shards(
-                SE.build_bloom_shards(seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp),
+                bootstrap_blooms
+                if bootstrap_blooms is not None
+                else SE.build_bloom_shards(
+                    seen_prev, cfg.n_shards, fpp=cfg.bloom_fpp
+                ),
                 delta_blobs,
             )
         else:

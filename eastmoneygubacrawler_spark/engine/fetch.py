@@ -178,23 +178,23 @@ def scan_extract(
             extract_udf(F.col("url"), F.col("html")).alias("e"),
             F.length(F.col("html")).cast("long").alias("bytes"),
             F.spark_partition_id().alias("partition_id"),
+            # computed IN the scan so only 32 hex chars (not html) ride the
+            # dedup shuffle; same pick key as FixtureFetcher so both fetch
+            # modes select the SAME row for a duplicated url
+            F.md5(F.col("html")).alias("_pick"),
         )
     )
     if not unique_urls:
         # enforce one row per url on the EXTRACTED structs (small), never on
-        # the html; deterministic pick = min md5 of the extract payload
-        pick = F.md5(
-            F.concat_ws(
-                "\x1f",
-                F.coalesce(F.col("e.status"), F.lit("")),
-                F.coalesce(F.col("e.text"), F.lit("")),
-                F.coalesce(F.col("e.post_time"), F.lit("")),
-                F.col("bytes").cast("string"),
-            )
-        )
+        # the html; deterministic pick = min md5(html), matching
+        # FixtureFetcher's unique_urls=False contract exactly
         extracted = (
             extracted.groupBy("url")
-            .agg(F.min_by(F.struct("e", "bytes", "partition_id"), pick).alias("_s"))
+            .agg(
+                F.min_by(
+                    F.struct("e", "bytes", "partition_id"), F.col("_pick")
+                ).alias("_s")
+            )
             .select(
                 "url",
                 F.col("_s.e").alias("e"),
@@ -202,6 +202,8 @@ def scan_extract(
                 F.col("_s.partition_id").alias("partition_id"),
             )
         )
+    else:
+        extracted = extracted.drop("_pick")
     return scheduled.join(extracted, on="url", how="left")
 
 

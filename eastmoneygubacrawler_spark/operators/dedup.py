@@ -331,7 +331,7 @@ def dedup_components(
     else:
         raise RuntimeError(
             f"star contraction did not converge in {max_iters} rounds "
-            "(O(log n) expected — this graph would need > 2^{max_iters} nodes)"
+            f"(O(log n) expected — this graph would need > 2^{max_iters} nodes)"
         )
     if stats is not None:
         stats["iters"] = iters

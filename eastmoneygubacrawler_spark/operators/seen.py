@@ -70,8 +70,16 @@ def _bloom_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
 
 
+# single source of truth for the per-shard filter sizing: the crawl engine
+# records (m, k) derived from THIS constant in the store manifest and treats
+# any mismatch as geometry drift (rebuild) — a divergent literal there would
+# permanently fail the freshness check and silently disable the index
+BLOOM_KEYS_PER_SHARD = 200_000
+
+
 def build_bloom_shards(
-    seen: DataFrame, n_shards: int, keys_per_shard: int = 200_000, fpp: float = 0.01
+    seen: DataFrame, n_shards: int,
+    keys_per_shard: int = BLOOM_KEYS_PER_SHARD, fpp: float = 0.01,
 ) -> DataFrame:
     """Bloom blob TABLE (shard, m, k, bits) built distributed, one task per
     shard.  The blobs stay executor-side for their whole life: built here,

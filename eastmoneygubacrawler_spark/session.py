@@ -31,6 +31,14 @@ def get_spark(
         # coalescing — load-bearing for the single-dominant-host skew case.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true) ON PURPOSE: pinning a
+        # fixed advisoryPartitionSizeInBytes makes AQE coalesce every
+        # post-shuffle stage to the same partition count regardless of
+        # cluster size, silently running consumer stages at small-cluster
+        # parallelism (measured: 8% composite throughput at 8 cores,
+        # BENCH/scaling_2_to_8_r3.json) — partition count must scale with
+        # the cluster, not with a byte size.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # All custom logic is Arrow-batched pandas UDFs.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
