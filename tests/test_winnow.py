@@ -111,3 +111,31 @@ def test_no_python_udf_in_plan(spark, corpus):
     """Pure Catalyst: the fingerprint plan contains no Python UDF eval."""
     plan = winnow_fingerprints(corpus, K, W)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_guarantee_randomized_batch(spark):
+    """Winnowing guarantee over randomized content, one Spark job for all
+    examples: every pair (2i, 2i+1) shares a random substring of length
+    ≥ w+k-1 planted at random offsets inside otherwise-unrelated random
+    text, and must therefore share ≥1 fingerprint."""
+    import random
+    import string
+
+    rng = random.Random(42)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    rows = []
+    for i in range(40):
+        shared = rand_text(W + K - 1 + rng.randrange(20))
+        a, b = rand_text(rng.randrange(5, 120)), rand_text(rng.randrange(5, 120))
+        rows.append((2 * i, a[: len(a) // 2] + shared + a[len(a) // 2:]))
+        rows.append((2 * i + 1, b[: len(b) // 3] + shared + b[len(b) // 3:]))
+    fp = winnow_fingerprints(_docs(spark, rows), K, W)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    for i in range(40):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
