@@ -47,6 +47,99 @@ def test_extract_media_features(spark, media):
     assert all(tuple(r.features) == again[r.media_id] for r in rows)
 
 
+def test_ppm_roundtrip_exact():
+    """Encode → decode must reproduce geometry and generator-truth features
+    bit-for-bit, including a header with comments and odd whitespace."""
+    import numpy as np
+
+    from eastmoneygubacrawler_spark.fixtures.media import (
+        encode_ppm,
+        image_feature_truth,
+    )
+    from eastmoneygubacrawler_spark.operators.multimodal import decode_ppm
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    w, h, feats = decode_ppm(encode_ppm(px, comment="hello # nested"))
+    assert (w, h) == (13, 11)
+    assert (feats == image_feature_truth(px)).all()
+    # arbitrary-whitespace header variant (netpbm allows any blank runs)
+    alt = b"P6 # c\n  13\t11\n255\n" + px.tobytes()
+    assert decode_ppm(alt)[:2] == (13, 11)
+
+
+def test_ppm_malformed_raises():
+    import numpy as np
+    import pytest as _pt
+
+    from eastmoneygubacrawler_spark.fixtures.media import encode_ppm
+    from eastmoneygubacrawler_spark.operators.multimodal import decode_ppm
+
+    good = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    for bad in (good[:-5], b"P6\n4 4\n", b"P6\n4 4\n65535\n" + b"\0" * 96,
+                b"P5\n4 4\n255\n" + b"\0" * 16, b""):
+        with _pt.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from eastmoneygubacrawler_spark.fixtures.media import (
+        audio_feature_truth,
+        encode_wav,
+    )
+    from eastmoneygubacrawler_spark.operators.multimodal import decode_wav
+
+    rng = np.random.default_rng(11)
+    mono = (rng.standard_normal(4000) * 8000).astype(np.int16)
+    nf, rate, dur, feats = decode_wav(encode_wav(mono, 16000, 1))
+    assert (nf, rate, dur) == (4000, 16000, 250)
+    assert (feats == audio_feature_truth(mono)).all()
+    stereo = np.stack([mono, -mono // 3], axis=1).astype(np.int16)
+    nf2, rate2, dur2, feats2 = decode_wav(encode_wav(stereo, 8000, 2))
+    assert (nf2, rate2, dur2) == (4000, 8000, 500)
+    assert (feats2 == audio_feature_truth(stereo)).all()
+
+
+def test_wav_malformed_raises():
+    import numpy as np
+    import pytest as _pt
+
+    from eastmoneygubacrawler_spark.fixtures.media import encode_wav
+    from eastmoneygubacrawler_spark.operators.multimodal import decode_wav
+
+    good = encode_wav(np.zeros(100, dtype=np.int16), 8000, 1)
+    for bad in (good[:20], b"RIFFxxxx", b"", b"abc"):
+        with _pt.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_extract_fixture_corpus_real_codecs(spark):
+    """The full fixture corpus through the distributed operator: real decodes
+    ok=True with generator-truth stats; corrupt/unknown rows ok=False."""
+    from eastmoneygubacrawler_spark.fixtures.media import make_media_corpus
+    from eastmoneygubacrawler_spark.schema import MEDIA as MEDIA_SCHEMA
+
+    corpus = make_media_corpus()
+    media = spark.createDataFrame(corpus["media_rows"], MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           extract_media_features(media, deterministic_fake=True,
+                                  n_partitions=4).collect()}
+    for exp in corpus["expected"]:
+        r = out[exp["media_id"]]
+        assert r.ok == exp["ok"], exp
+        if exp["ok"]:
+            assert (r.width, r.height, r.n_frames, r.sample_rate,
+                    r.duration_ms) == (exp["width"], exp["height"],
+                                       exp["n_frames"], exp["sample_rate"],
+                                       exp["duration_ms"]), exp
+            for i in range(6):
+                assert r.features[i] == exp[f"f{i}"], (exp["media_id"], i)
+        else:
+            assert r.features is None
+
+
 def test_frame_sample_plan(spark, media):
     frames = frame_sample(media, every_n=5)
     rows = frames.collect()

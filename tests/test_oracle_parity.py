@@ -72,7 +72,7 @@ def test_rows_only_queries_run(spark):
         df = qs[name](spark, SF_DIR)
         n = df.count()
         assert n >= 0, name
-        if name in ("crawl_fixture_round", "multimodal_features", "ann_topk_lsh"):
+        if name in ("crawl_fixture_round", "ann_topk_lsh"):
             assert n > 0, name
 
 
