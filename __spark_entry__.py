@@ -1175,9 +1175,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             rnd AS (
                 SELECT okey, host,
-                       (ascii(substring(md5(url), 1, 1)) * 16
-                        + ascii(substring(md5(url), 2, 1))) % (SELECT n FROM n)
-                           AS raw
+                       CAST(concat('0x', substring(md5(url), 1, 2)) AS INT)
+                           % (SELECT n FROM n) AS raw
                 FROM rows_
             ),
             rnd2 AS (

@@ -234,6 +234,10 @@ class HttpFetcher:
         user_agent: str = "eastmoneygubacrawler-spark/1.0",
         url_rewrite=None,
         per_host_slots: int = 1,
+        uas: DataFrame | None = None,
+        ua_mode: str = "sequential",
+        ua_blacklist: DataFrame | None = None,
+        ua_now_ts: float = 0.0,
     ):
         """``url_rewrite``: optional callable url→request-url applied
         worker-side just before the request (rows keep their logical url) —
@@ -247,7 +251,16 @@ class HttpFetcher:
         AGGREGATE per-host rate stays ≤ 1/delay while up to ``slots``
         connections run in parallel.  Streams that co-locate in one task
         pace stricter than required — politeness is a minimum, never
-        violated."""
+        violated.
+
+        ``uas``: optional (ua, ua_rank) table — P9 rotation (the reference's
+        per-request UserAgentManager.get_user_agent, core/user_agent_manager
+        .py:16-121) wired into the real fetch path: the blacklist-filtered
+        availability is assigned as a COLUMN over the scheduled batch
+        (operators/useragents.py, ``ua_mode`` sequential|random) and each
+        request sends its row's UA header.  A pre-existing ``ua`` column on
+        the scheduled batch wins (caller-supplied assignment); rows with a
+        null ua fall back to the static ``user_agent``."""
         self.politeness = (
             politeness.select("host", "delay_s") if politeness is not None else None
         )
@@ -256,6 +269,10 @@ class HttpFetcher:
         self.user_agent = user_agent
         self.url_rewrite = url_rewrite
         self.per_host_slots = max(1, per_host_slots)
+        self.uas = uas
+        self.ua_mode = ua_mode
+        self.ua_blacklist = ua_blacklist
+        self.ua_now_ts = ua_now_ts
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed)."""
@@ -272,11 +289,33 @@ class HttpFetcher:
                 sched = sched.join(F.broadcast(self.politeness), on="host", how="left")
             else:
                 sched = sched.withColumn("delay_s", F.lit(None).cast("double"))
+        added_ua = False
+        if "ua" not in sched.columns:
+            if self.uas is not None:
+                from ..operators.useragents import (
+                    assign_user_agents,
+                    available_user_agents,
+                )
+
+                avail = available_user_agents(
+                    self.uas, self.ua_blacklist, now_ts=self.ua_now_ts
+                )
+                sched = assign_user_agents(
+                    sched, avail, mode=self.ua_mode, order_cols=["url"],
+                    n_partitions=self.n_partitions,
+                )
+            else:
+                sched = sched.withColumn("ua", F.lit(None).cast("string"))
+            added_ua = True
 
         out_schema = StructType(
             list(scheduled.schema.fields)
             + ([StructField("host", sched.schema["host"].dataType)]
                if "host" not in scheduled.columns else [])
+            # the assigned UA rides the output only when rotation is on —
+            # fetch lineage for A-counters / blacklist feedback
+            + ([StructField("ua", sched.schema["ua"].dataType)]
+               if added_ua and self.uas is not None else [])
             + [StructField("html", BinaryType())]
         )
         out_cols = [f.name for f in out_schema.fields]
@@ -294,8 +333,8 @@ class HttpFetcher:
             next_ok: dict = {}  # host -> earliest next fetch (monotonic)
             for pdf in batches:
                 htmls = []
-                for url, host, delay in zip(
-                    pdf["url"], pdf["host"], pdf["delay_s"]
+                for url, host, delay, row_ua in zip(
+                    pdf["url"], pdf["host"], pdf["delay_s"], pdf["ua"]
                 ):
                     d = 0.0 if delay is None or pd.isna(delay) else float(delay)
                     d *= slots  # each of `slots` streams paces slots× slower
@@ -304,9 +343,11 @@ class HttpFetcher:
                         _time.sleep(wait)
                     next_ok[host] = _time.monotonic() + d
                     try:
+                        ua = user_agent if row_ua is None or pd.isna(row_ua) \
+                            else str(row_ua)
                         req = urllib.request.Request(
                             url_rewrite(url) if url_rewrite else url,
-                            headers={"User-Agent": user_agent},
+                            headers={"User-Agent": ua},
                         )
                         with urllib.request.urlopen(req, timeout=timeout_s) as r:
                             htmls.append(r.read())

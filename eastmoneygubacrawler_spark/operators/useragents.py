@@ -14,8 +14,9 @@ computed over the scheduled batch:
 - **sequential** mode: ua = available[(global fetch rank) % n] — the global
   rank comes from the same two-phase distributed row number the engine uses
   for crawl_seq (no single-partition window).
-- **random** mode: a seeded md5 pick (first two hex chars → int, mod n) so
-  the "random" choice is reproducible in any engine; avoid-consecutive is a
+- **random** mode: a seeded md5 pick (first hex byte of md5(url), a uniform
+  0..255 value, mod n) so the "random" choice is reproducible in any
+  engine; avoid-consecutive is a
   lag window per host over the canonical order.  Determinization notes vs
   the reference: (1) the reference's sequence is request-completion order
   under threads (nondeterministic); the data version uses the canonical
@@ -81,12 +82,13 @@ def assign_user_agents(
         )
         picked = ranked.withColumn("ua_slot", F.pmod(F.col("_rn"), F.lit(n)))
     elif mode == "random":
-        # seeded, engine-portable "random": first two md5 hex chars → int
+        # seeded, engine-portable "random": first md5 hex BYTE (two hex
+        # digits, conv base 16 → 0..255, uniform across slots; DuckDB mirror
+        # is CAST('0x'||substring(md5(url),1,2) AS INT))
         raw = F.pmod(
-            F.ascii(F.substring(F.md5(F.col(url_col)), 1, 1)) * 16
-            + F.ascii(F.substring(F.md5(F.col(url_col)), 2, 1)),
+            F.conv(F.substring(F.md5(F.col(url_col)), 1, 2), 16, 10).cast("long"),
             F.lit(n),
-        ).cast("long")
+        )
         w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
         picked = (
             rows.withColumn("_raw", raw)

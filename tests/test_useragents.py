@@ -69,7 +69,7 @@ def test_random_mode_avoids_consecutive_raw_repeat(spark):
     by_host: dict = {}
     for r in sorted(got.collect(), key=lambda r: (r.host, r.okey)):
         h = hashlib.md5(r.url.encode()).hexdigest()
-        raw = (ord(h[0]) * 16 + ord(h[1])) % 4
+        raw = int(h[:2], 16) % 4
         prev_raw = by_host.get(r.host)
         want = (raw + 1) % 4 if raw == prev_raw else raw
         assert r.ua == f"UA-{want}", (r.okey, r.ua, want)
