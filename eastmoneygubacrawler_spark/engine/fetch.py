@@ -118,6 +118,16 @@ def scan_extract(
     # size the filter to the batch, capped at broadcastable capacity; the
     # count is a distributed aggregate (O(1) result row, no row transfer)
     n_sched = scheduled.count()
+    if n_sched > bloom_capacity:
+        # past capacity the fp rate degrades toward 1 (documented above) —
+        # the degenerate full-scan regime must be observable, not silent
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "scan_extract: scheduled batch (%d urls) exceeds bloom_capacity "
+            "(%d); filter fp rate degrades toward 1 and the operator "
+            "approaches a full-scan extract", n_sched, bloom_capacity,
+        )
     m, k = _bloom_params(min(max(n_sched, 1), bloom_capacity), bloom_fpp)
     n_words = m // 64
 

@@ -533,7 +533,14 @@ def winnow_pairs(
     that is what ``max_bucket_size`` bounds, at the cost of recall on pairs
     whose every shared print is common.
     """
-    fp = winnow_fingerprints(docs, k, w, text_col, id_col).cache()
+    # materialize once (feeds sizes + the bucket self-join) via
+    # localCheckpoint, NOT cache: CacheManager pins cached plans until an
+    # explicit unpersist — which a lazily-returned operator can never call —
+    # while checkpoint blocks are freed by the ContextCleaner once the
+    # result frame is dropped (a long-lived driver stays leak-free)
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     sizes = fp.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     buckets = fp
     if max_bucket_size is not None:

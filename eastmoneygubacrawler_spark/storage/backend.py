@@ -262,8 +262,9 @@ class SnapshotStore:
 
     def maintain(self, spark: SparkSession) -> dict:
         """The between-rounds maintenance pass (reference analog: T5): fold
-        every multi-file append chain, then expire unreferenced dirs.
-        Returns {"compacted": [...], "gc": [...]}."""
+        every multi-file append chain, expire unreferenced dirs, and
+        reconcile manifest bookkeeping against the tables it summarizes.
+        Returns {"compacted": [...], "gc": [...], "reconciled": {...}}."""
         m = self.manifest()
         compacted = []
         if m is not None:
@@ -274,7 +275,37 @@ class SnapshotStore:
                 if n > 1:
                     self.compact(spark, name)
                     compacted.append(name)
-        return {"compacted": compacted, "gc": self.gc()}
+        reconciled = self._reconcile_meta(spark)
+        return {"compacted": compacted, "gc": self.gc(), "reconciled": reconciled}
+
+    def _reconcile_meta(self, spark: SparkSession) -> dict:
+        """crawl_seq trusts the manifest's running ``posts_rows`` counter; a
+        code path that appends posts without updating meta (or an operator
+        writing the table directly) would silently shift crawl_seq for every
+        later round.  Maintenance is the natural place to cross-check — it
+        already scans the table — and to REPAIR the counter, warning loudly.
+        Returns {} when consistent."""
+        m = self.manifest()
+        if m is None or "posts" not in m.get("tables", {}):
+            return {}
+        meta_rows = m.get("meta", {}).get("posts_rows")
+        if meta_rows is None:  # legacy store: engine falls back to a scan
+            return {}
+        posts = self.load(spark, "posts")
+        actual = 0 if posts is None else posts.count()
+        if actual == meta_rows:
+            return {}
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "posts_rows drift: manifest says %d, table has %d — repairing "
+            "the counter (crawl_seq for FUTURE rounds continues from the "
+            "actual count; rows committed outside run_crawl caused this)",
+            meta_rows, actual,
+        )
+        m["meta"]["posts_rows"] = actual
+        self._flip(m)
+        return {"posts_rows": {"was": meta_rows, "now": actual}}
 
     # ------------------------------------------------------------------- gc
 

@@ -93,6 +93,108 @@ def test_engine_cuckoo_path_equals_exact_path(spark, tmp_path):
     assert run(True, "cuckoo", "ck") == run(False, "bloom", "exact")
 
 
+def test_merge_cuckoo_shards_incremental_membership(spark):
+    """Delta-merge into stored blobs: every key (old + new) must be contained
+    afterwards — no false negatives across the merge — and untouched shards
+    pass through byte-identical."""
+    from eastmoneygubacrawler_spark.functions import urls as U
+    from eastmoneygubacrawler_spark.operators.cuckoo import (
+        build_cuckoo_shards,
+        cuckoo_maybe_seen,
+        merge_cuckoo_shards,
+        rebuild_overflowed_shards,
+    )
+    from pyspark.sql import functions as F
+
+    n_shards = 8
+
+    def urls_df(urls):
+        return spark.createDataFrame([(u,) for u in urls], ["url"]).withColumn(
+            "url_hash", U.url_hash(F.col("url"))
+        )
+
+    old = urls_df([f"https://a.com/{i}" for i in range(2000)])
+    new = urls_df([f"https://b.com/{i}" for i in range(500)])
+    prev = build_cuckoo_shards(old, n_shards, headroom=2.0)
+    merged = merge_cuckoo_shards(prev, new, n_shards)
+    assert merged.filter("NOT ok").count() == 0  # headroom absorbed the delta
+    blobs = merged.drop("ok")
+    both = urls_df(
+        [f"https://a.com/{i}" for i in range(2000)]
+        + [f"https://b.com/{i}" for i in range(500)]
+    )
+    assert cuckoo_maybe_seen(both, blobs, n_shards).filter("NOT maybe_seen").count() == 0
+    # the rebuild helper is a no-op when nothing overflowed
+    assert rebuild_overflowed_shards(merged, both, n_shards).count() == blobs.count()
+
+
+def test_merge_overflow_rebuilds_only_that_shard(spark):
+    """A shard whose table fills flags ok=False; rebuild_overflowed_shards
+    resizes exactly those shards from the full corpus and membership holds."""
+    from eastmoneygubacrawler_spark.functions import urls as U
+    from eastmoneygubacrawler_spark.operators.cuckoo import (
+        build_cuckoo_shards,
+        cuckoo_maybe_seen,
+        merge_cuckoo_shards,
+        rebuild_overflowed_shards,
+    )
+    from pyspark.sql import functions as F
+
+    n_shards = 4
+
+    def urls_df(urls):
+        return spark.createDataFrame([(u,) for u in urls], ["url"]).withColumn(
+            "url_hash", U.url_hash(F.col("url"))
+        )
+
+    old_urls = [f"https://a.com/{i}" for i in range(400)]
+    new_urls = [f"https://b.com/{i}" for i in range(4000)]  # 10× growth
+    old, new = urls_df(old_urls), urls_df(new_urls)
+    # no headroom: a 10× delta must overflow at least one shard
+    prev = build_cuckoo_shards(old, n_shards, headroom=1.0)
+    merged = merge_cuckoo_shards(prev, new, n_shards)
+    assert merged.filter("NOT ok").count() > 0
+    all_df = urls_df(old_urls + new_urls)
+    blobs = rebuild_overflowed_shards(merged, all_df, n_shards)
+    assert blobs.count() == n_shards
+    assert cuckoo_maybe_seen(all_df, blobs, n_shards).filter(
+        "NOT maybe_seen"
+    ).count() == 0
+
+
+def test_engine_persists_cuckoo_index_incrementally(spark, tmp_path):
+    """seen_bloom parity (round-3 verdict What's-wrong #1): the cuckoo flavor
+    must persist its index in the store with geometry+round in the manifest,
+    and later rounds must cover the full seen set without a fresh full-corpus
+    build (the stored blobs are the only front-filter state)."""
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.operators.cuckoo import cuckoo_maybe_seen
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    corpus = build_corpus(FixtureConfig(n_stocks=2, max_count=60, adversarial=False))
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+    store = SnapshotStore(str(tmp_path / "ck"))
+    cfg = CrawlConfig(
+        n_shards=8, fetch_partitions=4, use_bloom=True, seen_filter="cuckoo",
+        max_depth=1,
+    )
+    for expected_round in (0, 1, 2):
+        run_crawl(spark, store, pages, seeds, robots, None, cfg)
+        meta = store.meta().get("seen_cuckoo")
+        assert meta is not None and meta["round"] == expected_round
+        assert meta["n_shards"] == 8
+        blobs = store.load(spark, "seen_cuckoo")
+        assert blobs is not None
+        seen = store.load(spark, "seen")
+        # the PERSISTED index covers every committed seen url — no false
+        # negatives, so round N+1's gate can trust it without a rebuild
+        assert cuckoo_maybe_seen(seen, blobs, 8).filter("NOT maybe_seen").count() == 0
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

@@ -68,16 +68,25 @@ def test_permanent_failure_after_max_attempts(spark, small_corpus, tmp_path):
 
     run_crawl(spark, store, pages_broken, seeds, robots, None, cfg)
     run_crawl(spark, store, pages_broken, seeds, robots, None, cfg)
+    # terminally-failed rows leave the O(active) frontier snapshot for the
+    # append-only frontier_failed table (never rewritten round-over-round)
     fr = store.load(spark, "frontier").filter(
         (F.col("url") == target) & (F.col("depth") == 1)
     ).collect()
-    assert len(fr) == 1 and fr[0].status == "failed" and fr[0].attempts == 2
-    # a further round does NOT refetch it (failed rows carried, not retried)
-    run_crawl(spark, store, pages_broken, seeds, robots, None, cfg)
-    fr3 = store.load(spark, "frontier").filter(
+    assert fr == []
+    ff = store.load(spark, "frontier_failed").filter(
         (F.col("url") == target) & (F.col("depth") == 1)
     ).collect()
-    assert len(fr3) == 1 and fr3[0].status == "failed"
+    assert len(ff) == 1 and ff[0].status == "failed" and ff[0].attempts == 2
+    # a further round does NOT refetch it, and appends no duplicate row
+    run_crawl(spark, store, pages_broken, seeds, robots, None, cfg)
+    assert store.load(spark, "frontier").filter(
+        (F.col("url") == target) & (F.col("depth") == 1)
+    ).collect() == []
+    ff3 = store.load(spark, "frontier_failed").filter(
+        (F.col("url") == target) & (F.col("depth") == 1)
+    ).collect()
+    assert len(ff3) == 1 and ff3[0].status == "failed"
 
 
 def test_small_list_budget_multiwave_same_final_state(spark, small_corpus, tmp_path):

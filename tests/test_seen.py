@@ -105,7 +105,7 @@ def test_no_driver_collect_in_operators():
     # per Lloyd step — the spark.ml treeAggregate pattern), not data transit
     allowed = {"ivf.py"}
     pkg = pathlib.Path(__file__).parent.parent / "eastmoneygubacrawler_spark"
-    for sub in ("operators", "engine", "storage"):
+    for sub in ("operators", "engine", "storage", "streaming", "sources"):
         for p in sorted((pkg / sub).glob("*.py")):
             if p.name in allowed:
                 continue

@@ -231,3 +231,29 @@ def test_patch_dedup_newest_round_wins(spark, tmp_path):
     assert len(rows) == 2  # no duplication through the patch join
     got = {r.id: r.text for r in rows}
     assert got == {1: "new", 2: "b"}
+
+
+def test_maintain_reconciles_posts_rows_drift(spark, tmp_path):
+    """crawl_seq trusts meta['posts_rows']; rows appended to posts OUTSIDE
+    run_crawl would silently shift it forever.  maintain() (which already
+    scans tables to compact) must detect the drift, repair the counter, and
+    report it; a consistent store reconciles to {}."""
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, appends={"posts": spark.range(10)}, meta={"posts_rows": 10})
+    assert store.maintain(spark)["reconciled"] == {}
+
+    # a rogue append that bypasses the engine's counter bookkeeping
+    store.commit(1, appends={"posts": spark.range(10, 17)})
+    out = store.maintain(spark)
+    assert out["reconciled"] == {"posts_rows": {"was": 10, "now": 17}}
+    assert store.meta()["posts_rows"] == 17
+    # repaired: a second pass is clean
+    assert store.maintain(spark)["reconciled"] == {}
+
+
+def test_maintain_reconcile_skips_legacy_store(spark, tmp_path):
+    """No posts_rows in meta (legacy store) ⇒ nothing to reconcile; the
+    engine's scan fallback covers crawl_seq there."""
+    store = SnapshotStore(str(tmp_path / "s"))
+    store.commit(0, appends={"posts": spark.range(5)})
+    assert store.maintain(spark)["reconciled"] == {}
