@@ -725,7 +725,7 @@ def q_crawl_fixture_round(spark, sf):
     return store.load(spark, "posts").select(*_CRAWL_FIXTURE_COLS)
 
 
-_MEDIA_ORACLE = "/tmp/egs_media_oracle_v1/media_features.parquet"
+_MEDIA_ORACLE = "/tmp/egs_media_oracle_v2/media_features.parquet"
 
 
 def _ensure_media_oracle() -> str:

@@ -47,6 +47,16 @@ def encode_ppm(pixels: np.ndarray, comment: str | None = None) -> bytes:
     return header + pixels.astype(np.uint8).tobytes()
 
 
+def encode_pgm(pixels: np.ndarray, comment: str | None = None) -> bytes:
+    """uint8 array (h, w) → binary PGM (P5, maxval 255)."""
+    h, w = pixels.shape
+    header = b"P5\n"
+    if comment is not None:
+        header += b"# " + comment.encode() + b"\n"
+    header += f"{w} {h}\n255\n".encode()
+    return header + pixels.astype(np.uint8).tobytes()
+
+
 def encode_wav(samples: np.ndarray, framerate: int, nchannels: int = 1) -> bytes:
     """int16 array, shape (n,) mono or (n, nchannels) → RIFF/WAVE PCM16 bytes."""
     if samples.ndim == 1:
@@ -59,6 +69,17 @@ def encode_wav(samples: np.ndarray, framerate: int, nchannels: int = 1) -> bytes
         w.setsampwidth(2)
         w.setframerate(framerate)
         w.writeframes(interleaved.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def encode_wav8(samples_u8: np.ndarray, framerate: int) -> bytes:
+    """uint8 array (n,) → RIFF/WAVE unsigned-PCM8 mono bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(samples_u8.astype(np.uint8).tobytes())
     return buf.getvalue()
 
 
@@ -180,6 +201,29 @@ def make_media_corpus(seed: int = 42):
         _expect("audio", True, nf=n, sr=rate, dur=dur,
                 feats=audio_feature_truth(samples))
         mid += 1
+
+    # --- PGM P5 grayscale: decodes via the same netpbm parser, R=G=B expand
+    gray = rng.integers(0, 256, size=(12, 20), dtype=np.uint8)
+    payload = encode_pgm(gray, comment="gray fixture")
+    media_rows.append((mid, "image", payload, "image/x-portable-graymap", 20, 12, None))
+    _expect("image", True, w=20, h=12, nf=1,
+            feats=image_feature_truth(np.repeat(gray[..., None], 3, axis=2)))
+    mid += 1
+
+    # --- unsigned PCM8 WAV: maps to the int16 scale ((x-128)*256)
+    n8 = 2000
+    u8 = np.clip(
+        128 + 100 * np.sin(2 * np.pi * 330.0 * np.arange(n8) / 8000)
+        + 8 * rng.standard_normal(n8), 0, 255,
+    ).astype(np.uint8)
+    payload = encode_wav8(u8, 8000)
+    dur8 = n8 * 1000 // 8000
+    media_rows.append((mid, "audio", payload, "audio/wav", None, None, dur8))
+    _expect("audio", True, nf=n8, sr=8000, dur=dur8,
+            feats=audio_feature_truth(
+                ((u8.astype(np.int32) - 128) * 256).astype(np.int16)
+            ))
+    mid += 1
 
     # --- video: deterministic-fake contract (no stdlib container codec)
     for i in range(3):

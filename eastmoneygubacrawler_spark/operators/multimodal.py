@@ -5,10 +5,11 @@ Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 shape, UDF signatures — is real and tested, and since round 4 the codec step
 is *real for stdlib-decodable formats*:
 
-- **PPM P6** images (hand-rolled ~30-line parser, header comments + arbitrary
-  whitespace per the netpbm spec) → width/height + 16-dim channel/luma stats.
-- **WAV PCM16** audio (stdlib ``wave``) → frames/rate/duration + 16-dim
-  amplitude stats.
+- **PPM P6 / PGM P5** images (hand-rolled parser, header comments + arbitrary
+  whitespace per the netpbm spec; grayscale expands to R=G=B) → width/height
+  + 16-dim channel/luma stats.
+- **WAV PCM16 / PCM8** audio (stdlib ``wave``; 8-bit maps to the int16
+  scale) → frames/rate/duration + 16-dim amplitude stats.
 - Anything else (JPEG/PNG would need PIL, video containers would need
   ffmpeg — neither exists in this container) stays behind the honest seam:
   ``deterministic_fake=True`` derives md5-seeded features from the payload
@@ -72,12 +73,15 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_ppm(payload: bytes):
-    """Binary PPM (P6) → (width, height, features).  Raises ValueError on
-    malformed input.  Header grammar per netpbm: ``P6``, then width, height,
-    maxval as whitespace-separated tokens with ``#``-to-EOL comments allowed,
-    then exactly one whitespace byte, then ``3*w*h`` raster bytes."""
-    if not payload or not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM")
+    """Binary PPM (P6) / PGM (P5) → (width, height, features).  Raises
+    ValueError on malformed input.  Header grammar per netpbm: magic, then
+    width, height, maxval as whitespace-separated tokens with ``#``-to-EOL
+    comments allowed, then exactly one whitespace byte, then the raster
+    (``3*w*h`` bytes for P6, ``w*h`` for P5 — grayscale expands to R=G=B so
+    the feature contract is format-independent)."""
+    if not payload or payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a P6 PPM / P5 PGM")
+    channels = 3 if payload[:2] == b"P6" else 1
     pos, tokens = 2, []
     while len(tokens) < 3:
         if pos >= len(payload):
@@ -103,10 +107,13 @@ def decode_ppm(payload: bytes):
     if w <= 0 or h <= 0 or maxval != 255:
         raise ValueError(f"unsupported PPM geometry w={w} h={h} maxval={maxval}")
     pos += 1  # the single whitespace byte after maxval
-    raster = payload[pos : pos + 3 * w * h]
-    if len(raster) != 3 * w * h:
-        raise ValueError("truncated PPM raster")
-    pixels = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    need = channels * w * h
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM/PGM raster")
+    pixels = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        pixels = np.repeat(pixels, 3, axis=2)
     return w, h, _image_features(pixels)
 
 
@@ -129,21 +136,29 @@ def _image_features(pixels: np.ndarray) -> np.ndarray:
 
 
 def decode_wav(payload: bytes):
-    """RIFF/WAVE PCM16 → (n_frames, sample_rate, duration_ms, features).
-    Raises ValueError on malformed/unsupported input."""
+    """RIFF/WAVE PCM16 or unsigned-PCM8 → (n_frames, sample_rate,
+    duration_ms, features).  Raises ValueError on malformed/unsupported
+    input.  8-bit samples map to the int16 scale ((x − 128) × 256) so the
+    feature contract is width-independent."""
     if not payload or not payload.startswith(b"RIFF"):
         raise ValueError("not a RIFF container")
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2:
-                raise ValueError(f"unsupported sample width {w.getsampwidth()}")
+            width = w.getsampwidth()
+            if width not in (1, 2):
+                raise ValueError(f"unsupported sample width {width}")
             nch, rate, nframes = w.getnchannels(), w.getframerate(), w.getnframes()
             raw = w.readframes(nframes)
     except (wave.Error, EOFError) as e:
         raise ValueError(f"bad WAV: {e}") from e
-    if len(raw) != nframes * nch * 2:
+    if len(raw) != nframes * nch * width:
         raise ValueError("truncated WAV data chunk")
-    samples = np.frombuffer(raw, dtype="<i2")
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    else:  # PCM8 is unsigned per the WAV spec
+        samples = (
+            (np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128) * 256
+        ).astype(np.int16)
     if nch > 1:
         samples = samples.reshape(-1, nch)
     duration_ms = nframes * 1000 // rate
@@ -173,11 +188,11 @@ def _audio_features(samples: np.ndarray) -> np.ndarray:
 def decode_image(payload: bytes, deterministic_fake: bool = False):
     """Decode → (width, height, features).
 
-    PPM P6 decodes for real (stdlib-only).  Other formats: the fake path
+    PPM P6 / PGM P5 decode for real (stdlib-only).  Other formats: the fake path
     (md5-derived) when ``deterministic_fake``, else NotImplementedError —
     wire PIL here on a cluster that has it.  Malformed PPM raises ValueError
     (never falls back to fake: a parse failure is signal)."""
-    if payload and payload.startswith(b"P6"):
+    if payload and payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if deterministic_fake:
         h = hashlib.md5(payload or b"").digest()

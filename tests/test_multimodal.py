@@ -77,7 +77,9 @@ def test_ppm_malformed_raises():
 
     good = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
     for bad in (good[:-5], b"P6\n4 4\n", b"P6\n4 4\n65535\n" + b"\0" * 96,
-                b"P5\n4 4\n255\n" + b"\0" * 16, b""):
+                b"P5\n4 4\n255\n" + b"\0" * 10,  # truncated P5 raster
+                b"P4\n4 4\n" + b"\0" * 2,        # P4 bitmap unsupported
+                b""):
         with _pt.raises(ValueError):
             decode_ppm(bad)
 
@@ -149,3 +151,33 @@ def test_frame_sample_plan(spark, media):
         by_id.setdefault(r.media_id, []).append(r.frame_idx)
     for mid, idxs in by_id.items():
         assert sorted(idxs) == list(range(0, max(idxs) + 1, 5))
+
+
+def test_pgm_and_pcm8_roundtrip():
+    """P5 grayscale expands to R=G=B through the shared netpbm parser; PCM8
+    maps to the int16 scale — both must hit generator truth bit-for-bit."""
+    import numpy as np
+
+    from eastmoneygubacrawler_spark.fixtures.media import (
+        audio_feature_truth,
+        encode_pgm,
+        encode_wav8,
+        image_feature_truth,
+    )
+    from eastmoneygubacrawler_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    rng = np.random.default_rng(21)
+    gray = rng.integers(0, 256, size=(9, 14), dtype=np.uint8)
+    w, h, feats = decode_ppm(encode_pgm(gray, comment="g"))
+    assert (w, h) == (14, 9)
+    truth = image_feature_truth(np.repeat(gray[..., None], 3, axis=2))
+    assert (feats == truth).all()
+
+    u8 = rng.integers(0, 256, size=1500, dtype=np.uint8)
+    nf, rate, dur, afeats = decode_wav(encode_wav8(u8, 16000))
+    assert (nf, rate, dur) == (1500, 16000, 93)
+    atruth = audio_feature_truth(((u8.astype(np.int32) - 128) * 256).astype(np.int16))
+    assert (afeats == atruth).all()
