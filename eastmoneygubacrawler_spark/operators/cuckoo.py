@@ -255,6 +255,55 @@ def merge_cuckoo_shards(
     )
 
 
+def delete_from_cuckoo_shards(
+    prev: DataFrame, purged: DataFrame, n_shards: int
+) -> DataFrame:
+    """Remove purged keys from the stored blobs IN PLACE — the operation the
+    north star picked a cuckoo filter for, and the one a bloom structurally
+    cannot do (clearing shared bits would create false negatives for other
+    keys; the bloom flavor must rebuild instead).
+
+    Safe-for-others by the standard cuckoo argument: every inserted key holds
+    its own fingerprint slot (duplicates occupy multiple slots), so deleting
+    keys that WERE inserted never removes another key's copy.  Callers must
+    pre-filter the purge list to actually-seen keys (the engine's purge_urls
+    semi-joins against the seen table) — deleting a never-inserted key could
+    strip a colliding resident's fingerprint.
+
+    Returns the updated (shard, m, table) blob set; untouched shards pass
+    through unchanged."""
+    from pyspark.sql.types import (
+        BinaryType, IntegerType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("shard", IntegerType()),
+        StructField("m", LongType()),
+        StructField("table", BinaryType()),
+    ])
+
+    def _del(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bdf) == 0:  # purge keys for a shard with no blob: nothing
+            return pd.DataFrame(columns=["shard", "m", "table"])
+        shard = int(bdf["shard"].iloc[0])
+        m = int(bdf["m"].iloc[0])
+        blob = bdf["table"].iloc[0]
+        if len(cdf) == 0:
+            return pd.DataFrame({"shard": [shard], "m": [m], "table": [blob]})
+        table = np.frombuffer(blob, dtype=np.uint8).reshape(m, SLOTS).copy()
+        delete(table, cdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"shard": [shard], "m": [m], "table": [table.tobytes()]}
+        )
+
+    sharded = with_shard(purged.select("url_hash"), n_shards)
+    return (
+        sharded.groupBy("shard")
+        .cogroup(prev.groupBy("shard"))
+        .applyInPandas(lambda k, c, b: _del(c, b), out_schema)
+    )
+
+
 def rebuild_overflowed_shards(
     merged: DataFrame, seen_all: DataFrame, n_shards: int
 ) -> DataFrame:

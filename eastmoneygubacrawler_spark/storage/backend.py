@@ -112,6 +112,7 @@ class SnapshotStore:
         appends: dict[str, DataFrame] | None = None,
         patches: dict[str, tuple[DataFrame, list[str]]] | None = None,
         meta: dict | None = None,
+        deletes: dict[str, tuple[DataFrame, list[str]]] | None = None,
     ) -> dict:
         """Write this round's data then atomically flip the pointer.
 
@@ -122,6 +123,11 @@ class SnapshotStore:
           coalesce over base).  The engine must guarantee ≤1 patch row per key
           across all rounds (the seen-gate does for post texts); ``load``
           additionally keeps only the newest patch per key as a guard.
+        - ``deletes``: name → (keys DataFrame, key_cols) — Iceberg
+          EQUALITY-DELETE files: rows of append table ``name`` matching any
+          committed key are anti-joined out at load time.  The commit writes
+          only the key rows (O(purge delta), never a table rewrite); the
+          next ``compact`` folds them into the base and clears the list.
         - ``meta``: bookkeeping dict merged key-wise over the previous
           round's meta (e.g. running row counts, bloom geometry).
 
@@ -139,6 +145,7 @@ class SnapshotStore:
         snapshots = dict(snapshots or {})
         appends = dict(appends or {})
         patches = dict(patches or {})
+        deletes = dict(deletes or {})
         prev = self.manifest()
         tables: dict = {} if prev is None else json.loads(json.dumps(prev["tables"]))
 
@@ -172,6 +179,14 @@ class SnapshotStore:
             patch = ent.setdefault("patch", {"paths": [], "keys": list(keys)})
             if rel not in patch["paths"]:
                 patch["paths"].append(rel)
+        for name, (df, keys) in deletes.items():
+            _check_mode(name, "append")
+            rel = f"data/{name}/d{round_id:06d}"
+            jobs.append((df.select(*keys), rel))
+            ent = tables.setdefault(name, {"mode": "append", "paths": []})
+            dels = ent.setdefault("deletes", {"paths": [], "keys": list(keys)})
+            if rel not in dels["paths"]:
+                dels["paths"].append(rel)
 
         if jobs:
             def _write(job):
@@ -197,7 +212,11 @@ class SnapshotStore:
             for name, ent in tables.items():
                 if ent["mode"] != "append":
                     continue
-                n = len(ent["paths"]) + len(ent.get("patch", {}).get("paths", ()))
+                n = (
+                    len(ent["paths"])
+                    + len(ent.get("patch", {}).get("paths", ()))
+                    + len(ent.get("deletes", {}).get("paths", ()))
+                )
                 if n > self.auto_compact_after:
                     self.compact(spark, name)
         return self.manifest()
@@ -226,6 +245,43 @@ class SnapshotStore:
         if ent.get("mode", "snapshot") == "snapshot":
             return spark.read.parquet(paths[-1])
         base = spark.read.parquet(*paths)
+        dels = ent.get("deletes")
+        if dels and dels["paths"]:
+            # equality-delete files with Iceberg SEQUENCE semantics: a
+            # delete committed at round d hides only rows from data files of
+            # round ≤ d — a row re-appended AFTER the purge (refetch of a
+            # purged url) must survive.  Sequence numbers come from the
+            # dir-name round embedded in every path (r%06d / base_r%06d /
+            # d%06d), materialized IN the scan stage (input_file_name is
+            # empty after an exchange).  The delete union is tiny (purge
+            # deltas only) → broadcast.
+            from functools import reduce
+
+            keys = dels["keys"]
+            b = base.withColumn(
+                "_seq",
+                F.regexp_extract(
+                    F.input_file_name(), r"/(?:base_)?r(\d{6})", 1
+                ).cast("long"),
+            ).alias("b")
+            ddf = (
+                spark.read.parquet(*[self._abs(p) for p in dels["paths"]])
+                .withColumn(
+                    "_dseq",
+                    F.regexp_extract(
+                        F.input_file_name(), r"/d(\d{6})", 1
+                    ).cast("long"),
+                )
+                .groupBy(*keys).agg(F.max("_dseq").alias("_dseq"))
+                .alias("d")
+            )
+            cond = reduce(
+                lambda a, c: a & c,
+                [F.col(f"b.{k}") == F.col(f"d.{k}") for k in keys],
+            ) & (F.col("d._dseq") >= F.col("b._seq"))
+            base = (
+                b.join(F.broadcast(ddf), on=cond, how="left_anti").drop("_seq")
+            )
         patch = ent.get("patch")
         if patch and patch["paths"]:
             keys = patch["keys"]
@@ -271,7 +327,11 @@ class SnapshotStore:
             for name, ent in m["tables"].items():
                 if ent.get("mode") != "append":
                     continue
-                n = len(ent["paths"]) + len(ent.get("patch", {}).get("paths", ()))
+                n = (
+                    len(ent["paths"])
+                    + len(ent.get("patch", {}).get("paths", ()))
+                    + len(ent.get("deletes", {}).get("paths", ()))
+                )
                 if n > 1:
                     self.compact(spark, name)
                     compacted.append(name)
@@ -293,7 +353,11 @@ class SnapshotStore:
             return {}
         posts = self.load(spark, "posts")
         actual = 0 if posts is None else posts.count()
-        if actual == meta_rows:
+        # posts_rows is a HIGH-WATER insertion counter (crawl_seq seed):
+        # actual < meta is legitimate after purges (deleted rows never give
+        # their sequence numbers back); only actual > meta — rows appended
+        # without counter bookkeeping — is drift worth repairing
+        if actual <= meta_rows:
             return {}
         import logging
 
@@ -326,6 +390,7 @@ class SnapshotStore:
         for ent in m["tables"].values():
             live.update(ent["paths"])
             live.update(ent.get("patch", {}).get("paths", ()))
+            live.update(ent.get("deletes", {}).get("paths", ()))
         removed = []
         data_root = os.path.join(self.root, "data")
         if not os.path.isdir(data_root):
@@ -361,4 +426,6 @@ class SnapshotStore:
         ent["paths"] = [rel]
         if "patch" in ent:
             ent["patch"]["paths"] = []
+        if "deletes" in ent:  # folded into the new base by the load above
+            ent["deletes"]["paths"] = []
         self._flip(m)
