@@ -134,3 +134,21 @@ def purge_urls(
         "cuckoo_kept_fresh": cuckoo_kept_fresh,
         "bloom_invalidated": bloom_invalidated,
     }
+
+
+def purge_hosts(
+    spark: SparkSession,
+    store: SnapshotStore,
+    hosts: list[str],
+    n_shards: int | None = None,
+) -> dict:
+    """Retire whole hosts (the north star's "purged hosts" case): every seen
+    url of the given hosts goes through :func:`purge_urls`.  The url list is
+    derived from the seen table itself — one pruned scan, no caller-side
+    materialization."""
+    seen = store.load(spark, "seen")
+    if seen is None:
+        return {"round": store.current_round(), "urls_purged": 0,
+                "cuckoo_kept_fresh": False, "bloom_invalidated": False}
+    urls = seen.select("url").filter(U.url_host(F.col("url")).isin(list(hosts)))
+    return purge_urls(spark, store, urls, n_shards=n_shards)

@@ -159,3 +159,29 @@ def test_purge_unknown_urls_noop(spark, corpus, tmp_path):
     )
     assert m["urls_purged"] == 0
     assert store.load(spark, "posts").count() == n_before
+
+
+def test_purge_hosts_retires_whole_host(spark, corpus, tmp_path):
+    """The north star's 'purged hosts' case: every seen url of the host goes;
+    other hosts (caifuhao art_urls) survive."""
+    from eastmoneygubacrawler_spark.engine.purge import purge_hosts
+    from eastmoneygubacrawler_spark.functions import urls as U
+
+    pages, seeds, robots = _dfs(spark, corpus)
+    store = SnapshotStore(str(tmp_path / "s"))
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False, max_depth=1)
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)
+    seen = store.load(spark, "seen")
+    hosts = {r[0] for r in seen.select(U.url_host(F.col("url"))).distinct().collect()}
+    assert "guba.eastmoney.com" in hosts
+    n_guba = seen.filter(
+        U.url_host(F.col("url")) == "guba.eastmoney.com"
+    ).count()
+    m = purge_hosts(spark, store, ["guba.eastmoney.com"])
+    assert m["urls_purged"] == n_guba
+    left = store.load(spark, "seen")
+    assert left.filter(
+        U.url_host(F.col("url")) == "guba.eastmoney.com"
+    ).count() == 0
+    if len(hosts) > 1:  # caifuhao urls untouched
+        assert left.count() > 0
