@@ -108,8 +108,18 @@ def bench_queries(spark) -> dict[str, float]:
             )
         ).alias("g")
     ).first()["g"]
-    timings["winnow_real_density"] = round(n_fp / max(n_grams, 1), 4)
-    timings["winnow_real_density_expected"] = round(2 / (w_r + 1), 4)
+    density = n_fp / max(n_grams, 1)
+    expected_density = 2 / (w_r + 1)
+    timings["winnow_real_density"] = round(density, 4)
+    timings["winnow_real_density_expected"] = round(expected_density, 4)
+    if not (0.25 * expected_density < density < 4 * expected_density):
+        # generous band: low-entropy corpora legitimately shave distinct
+        # fingerprints, but an order-of-magnitude drift means the window
+        # selection broke (measured 0.0359 vs 0.0392 on the sf documents)
+        raise RuntimeError(
+            f"winnowing density {density:.4f} diverged from the 2/(w+1) "
+            f"expectation {expected_density:.4f}"
+        )
 
     crawl_metrics = {}
     t = time.time()
