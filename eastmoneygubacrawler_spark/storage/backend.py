@@ -246,6 +246,7 @@ class SnapshotStore:
             return spark.read.parquet(paths[-1])
         base = spark.read.parquet(*paths)
         dels = ent.get("deletes")
+        ddf = None
         if dels and dels["paths"]:
             # equality-delete files with Iceberg SEQUENCE semantics: a
             # delete committed at round d hides only rows from data files of
@@ -285,25 +286,51 @@ class SnapshotStore:
         patch = ent.get("patch")
         if patch and patch["paths"]:
             keys = patch["keys"]
-            pdf = spark.read.parquet(*[self._abs(p) for p in patch["paths"]])
+            # materialize the file name IN the scan stage, once — it is
+            # empty after an exchange and unsupported after a multi-source
+            # join; both consumers below (delete sequencing, newest-wins
+            # dedup) derive from this column
+            pdf = spark.read.parquet(
+                *[self._abs(p) for p in patch["paths"]]
+            ).withColumn("_src", F.input_file_name())
+            if ddf is not None and set(dels["keys"]) <= set(pdf.columns):
+                # deletes hide PATCH rows too, same sequence rule: a purge
+                # at round d must remove text that arrived as an MoR fill in
+                # a round ≤ d — otherwise the purged content survives in the
+                # patch file and would even shadow a post-purge refetch
+                # through the coalesce below
+                from functools import reduce as _reduce
+
+                dk = dels["keys"]
+                p = pdf.withColumn(
+                    "_pseq",
+                    F.regexp_extract(F.col("_src"), r"/p(\d{6})", 1)
+                    .cast("long"),
+                ).alias("p")
+                pcond = _reduce(
+                    lambda a, c: a & c,
+                    [F.col(f"p.{k}") == F.col(f"d.{k}") for k in dk],
+                ) & (F.col("d._dseq") >= F.col("p._pseq"))
+                pdf = (
+                    p.join(F.broadcast(ddf), on=pcond, how="left_anti")
+                    .drop("_pseq")
+                )
             if len(patch["paths"]) > 1:
                 # belt-and-braces for the ≤1-patch-per-key contract: if an
                 # upstream bug (e.g. a lossy seen-filter) ever double-patches
                 # a key, keep only the NEWEST round's row instead of
                 # duplicating base rows through the left join.  Patch file
-                # paths sort by round (p%06d), so input_file_name is the
-                # round order; the patch union is tiny (cross-round fills).
+                # paths sort by round (p%06d), so _src is the round order;
+                # the patch union is tiny (cross-round fills).
                 from pyspark.sql import Window
 
-                # materialize the file name IN the scan stage (it is empty
-                # after an exchange), then rank within key
-                pdf = pdf.withColumn("_src", F.input_file_name())
                 w = Window.partitionBy(*keys).orderBy(F.desc("_src"))
                 pdf = (
                     pdf.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1)
-                    .drop("_rn", "_src")
+                    .drop("_rn")
                 )
+            pdf = pdf.drop("_src")
             val_cols = [c for c in pdf.columns if c not in keys]
             renamed = pdf.select(
                 *keys, *[F.col(c).alias(f"_patch_{c}") for c in val_cols]

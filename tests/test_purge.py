@@ -185,3 +185,38 @@ def test_purge_hosts_retires_whole_host(spark, corpus, tmp_path):
     ).count() == 0
     if len(hosts) > 1:  # caifuhao urls untouched
         assert left.count() > 0
+
+
+def test_purge_removes_mor_patch_text(spark, corpus, tmp_path):
+    """Text that arrived as a merge-on-read patch must not survive a purge —
+    neither visibly nor by shadowing a post-purge refetch through the
+    load-time coalesce.  Sequence rule: the purge hides patch rows from
+    rounds <= purge round; a later refetch carries its own text."""
+    golden = simulate_reference_crawl(corpus)
+    target = next(p["url"] for p in golden["posts"] if p["full_text"])
+    expected_text = next(
+        p["full_text"] for p in golden["posts"] if p["url"] == target
+    )
+    pages, seeds, robots = _dfs(spark, corpus)
+    pages_broken = pages.filter(F.col("url") != target)
+    store = SnapshotStore(str(tmp_path / "s"))
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False, max_depth=1)
+
+    run_crawl(spark, store, pages_broken, seeds, robots, None, cfg)  # r0: miss
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)         # r1: patch
+    m = store.manifest()["tables"]["posts"]
+    assert m.get("patch", {}).get("paths"), "precondition: text is an MoR patch"
+    row1 = store.load(spark, "posts").filter(F.col("url") == target).collect()
+    assert row1 and row1[0].full_text == expected_text
+
+    purge_urls(spark, store, spark.createDataFrame([(target,)], ["url"]))
+    assert store.load(spark, "posts").filter(F.col("url") == target).count() == 0
+
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)         # r3: refetch
+    back = store.load(spark, "posts").filter(F.col("url") == target).collect()
+    assert len(back) == 1 and back[0].full_text == expected_text
+    # the refetched text came from its own delta, not the purged patch —
+    # compaction folds to the same state (patch + delete files absorbed)
+    store.compact(spark, "posts")
+    after = store.load(spark, "posts").filter(F.col("url") == target).collect()
+    assert len(after) == 1 and after[0].full_text == expected_text
