@@ -148,9 +148,16 @@ def decode_wav(payload: bytes):
             if width not in (1, 2):
                 raise ValueError(f"unsupported sample width {width}")
             nch, rate, nframes = w.getnchannels(), w.getframerate(), w.getnframes()
+            if nch <= 0 or rate <= 0 or nframes < 0:
+                raise ValueError("non-positive WAV geometry")
             raw = w.readframes(nframes)
-    except (wave.Error, EOFError) as e:
-        raise ValueError(f"bad WAV: {e}") from e
+    except ValueError:
+        raise
+    # stdlib wave/chunk leak bare RuntimeError (chunk.skip on a corrupt
+    # size field) and OSError besides wave.Error — fuzz-found; a corrupt
+    # payload must become ok=False, never a task failure
+    except (wave.Error, EOFError, OSError, RuntimeError) as e:
+        raise ValueError(f"bad WAV: {e!r}") from e
     if len(raw) != nframes * nch * width:
         raise ValueError("truncated WAV data chunk")
     if width == 2:

@@ -181,3 +181,46 @@ def test_pgm_and_pcm8_roundtrip():
     assert (nf, rate, dur) == (1500, 16000, 93)
     atruth = audio_feature_truth(((u8.astype(np.int32) - 128) * 256).astype(np.int16))
     assert (afeats == atruth).all()
+
+
+def test_codec_fuzz_never_crashes():
+    """Contract: arbitrary bytes either decode successfully or raise
+    ValueError — no other exception class escapes the parsers (a corrupt
+    payload in a 100 TB media table must become an ok=False row, never a
+    task failure)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from eastmoneygubacrawler_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    @given(st.binary(max_size=400))
+    @settings(max_examples=300, deadline=None)
+    def _fuzz(payload):
+        for dec in (decode_ppm, decode_wav):
+            try:
+                dec(payload)
+            except ValueError:
+                pass
+
+    _fuzz()
+
+    # seeded near-valid headers (more likely to reach deep parser states)
+    import numpy as np
+
+    from eastmoneygubacrawler_spark.fixtures.media import encode_ppm, encode_wav
+
+    rng = np.random.default_rng(3)
+    good_p = bytearray(encode_ppm(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)))
+    good_w = bytearray(encode_wav((rng.standard_normal(64) * 99).astype(np.int16), 8000))
+    for blob, dec in ((good_p, decode_ppm), (good_w, decode_wav)):
+        for _ in range(200):
+            b = bytearray(blob)
+            for _ in range(rng.integers(1, 4)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass
