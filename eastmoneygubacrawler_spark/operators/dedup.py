@@ -72,7 +72,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard ≥ threshold (exact)."""
-    sh = word_shingles(docs, n, text_col, id_col).cache()
+    # localCheckpoint, not cache: a lazily-returned operator can never unpersist, and CacheManager pins cached plans forever; checkpoint blocks free on GC of the result frame
+    sh = word_shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -165,8 +166,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only
-    sh = word_shingles(docs, n, text_col, id_col).cache()
+    # exact verify on the candidate set only (checkpoint: see ngram_jaccard_pairs)
+    sh = word_shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -221,7 +222,7 @@ def simhash_near_dups(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming via 4×8-bit band pigeonhole."""
-    fp = simhash32(docs, text_col, id_col).cache()
+    fp = simhash32(docs, text_col, id_col).localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id", "simhash",
         F.explode(
