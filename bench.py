@@ -538,6 +538,31 @@ def main_multiround(
             fail_rounds.append(row)
             print(json.dumps(row))
         fbytes = [r["frontier_snapshot_bytes"] for r in fail_rounds]
+        # timed purge on the grown store: cost must be O(purge delta) —
+        # the commit writes only the key files + the filtered frontier
+        # snapshot, never rewrites posts/seen (equality-delete files)
+        from eastmoneygubacrawler_spark.engine import purge_urls
+
+        seen_tbl = store.load(spark, "seen")
+        # seeded hash: the page-breaking filter above uses xxhash64(url), so
+        # an unseeded selector here is CORRELATED with it (the 2% bucket
+        # falls inside the broken 30% and was never seen — measured 208
+        # instead of ~10k before the seed decorrelated them)
+        purge_list = seen_tbl.filter(
+            F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(100)) < 2
+        ).select("url")
+        posts_paths_before = list(
+            store.manifest()["tables"]["posts"]["paths"]
+        )
+        t = time.time()
+        pm = purge_urls(spark, store, purge_list)
+        purge_wall = round(time.time() - t, 3)
+        man = store.manifest()
+        delete_bytes = sum(
+            _tree_bytes(store.root, p)
+            for ent in man["tables"].values()
+            for p in ent.get("deletes", {}).get("paths", ())
+        )
         out["failed_split"] = {
             "rounds": fail_rounds,
             "broken_post_fraction": 0.3,
@@ -545,6 +570,15 @@ def main_multiround(
                 round(max(fbytes[1:]) / fbytes[0], 3) if len(fbytes) > 1 else None
             ),
             "frontier_failed_rows_final": fail_rounds[-1]["frontier_failed_rows"],
+            "purge": {
+                "urls_purged": pm["urls_purged"],
+                "wall_s": purge_wall,
+                "delete_file_bytes": delete_bytes,
+                # O(delta) proof: the posts base/delta files are untouched
+                "posts_data_files_rewritten": (
+                    list(man["tables"]["posts"]["paths"]) != posts_paths_before
+                ),
+            },
         }
         shutil.rmtree(store_dir, ignore_errors=True)
 
