@@ -101,6 +101,27 @@ def main() -> None:
         explain_str(wf),
     ))
 
+    # 8. equality-delete load path — purged keys anti-joined BROADCAST (the
+    # delete union is a purge delta, tiny), sequence condition evaluated in
+    # the join, base scan untouched by any exchange
+    import tempfile
+
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    st = SnapshotStore(tempfile.mkdtemp(prefix="egs_plans_store_"))
+    st.commit(0, appends={"posts_demo": pages.select("url", "lang")})
+    st.commit(
+        1,
+        deletes={"posts_demo": (pages.select("url").limit(20), ["url"])},
+    )
+    loaded = st.load(spark, "posts_demo")
+    sections.append((
+        "Equality-delete load (purge path) — BroadcastHashJoin LeftAnti over "
+        "the tiny delete-key union with the sequence predicate; the base scan "
+        "sees no exchange",
+        explain_str(loaded),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — flagship physical plans (`.explain(\"formatted\")`)\n\n"
