@@ -844,10 +844,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         # oracle = pure-python reference simulator, materialized as parquet
         "crawl_fixture_round": q_crawl_fixture_round,
-        # rows-only (no oracle): approximate / stubbed-codec
+        # oracle = generator-side media ground truth (stats from the raw
+        # arrays BEFORE encoding), materialized as parquet
+        "multimodal_features": q_multimodal_features,
+        # rows-only (no oracle): approximate by design — recall-gated
+        # against the exact brute path in bench.py instead
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
-        "multimodal_features": q_multimodal_features,
     }
 
 
