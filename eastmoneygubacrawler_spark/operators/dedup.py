@@ -139,7 +139,19 @@ def minhash_lsh_pairs(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(docs, k, n, text_col, id_col)
+    # ONE shingle pass feeds both the signatures and the exact verify below
+    # — shingling (regex normalize + explode + distinct) is the dominant
+    # per-doc cost and was previously computed twice; checkpoint semantics
+    # as in ngram_jaccard_pairs
+    sh = word_shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))
+            ).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    )
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
@@ -166,8 +178,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact verify on the candidate set only (checkpoint: see ngram_jaccard_pairs)
-    sh = word_shingles(docs, n, text_col, id_col).localCheckpoint(eager=True)
+    # exact verify on the candidate set only — reuses the checkpointed sh
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
