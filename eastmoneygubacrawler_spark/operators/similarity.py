@@ -80,6 +80,26 @@ def lsh_signature_udf(planes: np.ndarray):
     return _sig
 
 
+def lsh_multisig_udf(all_planes: np.ndarray):
+    """pandas UDF: embedding -> ALL tables' packed signatures in one pass.
+
+    ``all_planes``: (n_tables, n_planes, dim).  One batched matmul against
+    the stacked planes replaces n_tables separate scans of the corpus —
+    at 10^9 vectors the scan count, not the matmul, is the cost."""
+    T, P, dim = all_planes.shape
+    flat = all_planes.reshape(T * P, dim)  # one (T·P, dim) matmul
+    weights = (1 << np.arange(P, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _sigs(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ flat.T > 0).reshape(len(mat), T, P)
+        sigs = bits @ weights  # (batch, T)
+        return pd.Series(list(sigs.astype(np.int64)))
+
+    return _sigs
+
+
 def topk_lsh(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
     n_planes: int = 6, probes: int = 6, n_tables: int = 4,
@@ -98,28 +118,35 @@ def topk_lsh(
     corpus_v = corpus.select(id_col, vec_col)
     q_v = queries.select(F.col(query_id_col), F.col(vec_col).alias("qvec"))
 
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        sig = lsh_signature_udf(planes)
-        corpus_sig = corpus_v.withColumn("bucket", sig(F.col(vec_col)))
-        q_sig = q_v.withColumn("bucket0", sig(F.col("qvec")))
-        probe_buckets = F.array(
-            F.col("bucket0"),
-            *[
-                F.col("bucket0").bitwiseXOR(F.lit(1 << j)).cast("long")
-                for j in range(min(probes, n_planes))
-            ],
-        )
-        q_probes = q_sig.select(
-            query_id_col, "qvec", F.explode(probe_buckets).alias("bucket")
-        )
-        pairs = (
-            corpus_sig.join(F.broadcast(q_probes), on="bucket")
-            .filter(F.col(query_id_col) != F.col(id_col))
-            .select(query_id_col, id_col, vec_col, "qvec")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    # all tables in ONE corpus pass: the stacked-planes UDF emits every
+    # table's signature at once and posexplode turns them into
+    # (table, bucket) rows — one scan + one join replaces n_tables of each
+    # (same candidates: collide-in-any-table ⇒ the distinct below)
+    all_planes = np.stack(
+        [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )
+    sigs = lsh_multisig_udf(all_planes)
+    corpus_sig = corpus_v.withColumn("_sigs", sigs(F.col(vec_col))).select(
+        id_col, vec_col, F.posexplode("_sigs").alias("table", "bucket")
+    )
+    q_sig = q_v.withColumn("_sigs", sigs(F.col("qvec"))).select(
+        query_id_col, "qvec", F.posexplode("_sigs").alias("table", "bucket0")
+    )
+    probe_buckets = F.array(
+        F.col("bucket0"),
+        *[
+            F.col("bucket0").bitwiseXOR(F.lit(1 << j)).cast("long")
+            for j in range(min(probes, n_planes))
+        ],
+    )
+    q_probes = q_sig.select(
+        query_id_col, "qvec", "table", F.explode(probe_buckets).alias("bucket")
+    )
+    cand = (
+        corpus_sig.join(F.broadcast(q_probes), on=["table", "bucket"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, vec_col, "qvec")
+    )
 
     cand = cand.distinct().withColumn(
         "cosine", F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6)
