@@ -735,7 +735,17 @@ def q_crawl_fixture_round(spark, sf):
     return store.load(spark, "posts").select(*_CRAWL_FIXTURE_COLS)
 
 
-_MEDIA_ORACLE = "/tmp/egs_media_oracle_v2/media_features.parquet"
+def _media_oracle_path() -> str:
+    """Oracle path keyed by a content hash of the fixture module, so editing
+    fixtures/media.py (corpus or expected-feature contract) regenerates the
+    oracle instead of silently gating against a stale parquet (ADVICE r4)."""
+    import hashlib
+
+    from eastmoneygubacrawler_spark.fixtures import media as _media_mod
+
+    with open(_media_mod.__file__, "rb") as f:
+        tag = hashlib.md5(f.read()).hexdigest()[:12]
+    return f"/tmp/egs_media_oracle_{tag}/media_features.parquet"
 
 
 def _ensure_media_oracle() -> str:
@@ -753,8 +763,9 @@ def _ensure_media_oracle() -> str:
 
     from eastmoneygubacrawler_spark.fixtures.media import make_media_corpus
 
-    if os.path.exists(_MEDIA_ORACLE):
-        return _MEDIA_ORACLE
+    path = _media_oracle_path()
+    if os.path.exists(path):
+        return path
     exp = make_media_corpus()["expected"]
     schema = pa.schema(
         [
@@ -766,11 +777,11 @@ def _ensure_media_oracle() -> str:
         + [(f"f{i}", pa.float64()) for i in range(6)]
     )
     table = pa.table({c: [r[c] for r in exp] for c in schema.names}, schema=schema)
-    os.makedirs(os.path.dirname(_MEDIA_ORACLE), exist_ok=True)
-    tmp = f"{_MEDIA_ORACLE}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
     pq.write_table(table, tmp)
-    os.replace(tmp, _MEDIA_ORACLE)
-    return _MEDIA_ORACLE
+    os.replace(tmp, path)
+    return path
 
 
 def q_multimodal_features(spark, sf):

@@ -52,22 +52,32 @@ def purge_urls(
 
     ``n_shards``: cuckoo index geometry, defaulted from the manifest meta.
     """
+    # the FULL canonicalized purge list drives the posts/frontier deletes:
+    # a url can sit in posts metadata or frontier retry state without ever
+    # having entered seen (text fetch not yet succeeded), and the purge
+    # contract is "gone from every surface", not "gone if seen"
     purged = (
         urls.select(U.canonicalize_url(F.col("url")).alias("url"))
         .distinct()
         .withColumn("url_hash", U.url_hash(F.col("url")))
+        # several consumers (delete files, frontier filter, cuckoo delete)
+        # — materialize once; also fixes the metrics count without rescans
+        .localCheckpoint(eager=True)
     )
+    n_purged = purged.count()
     seen_prev = store.load(spark, "seen")
     if seen_prev is not None:
-        # semi-join to actually-seen urls: cuckoo delete is only
-        # safe-for-others on keys that were really inserted
-        purged = purged.join(
+        # cuckoo-delete input ONLY: in-place deletion is safe-for-others
+        # solely on keys that were really inserted, so the index delete is
+        # restricted to actually-seen urls while the equality deletes below
+        # stay on the full list (posts metadata / frontier retry rows can
+        # carry urls that never reached seen)
+        purged_seen = purged.join(
             seen_prev.select("url").distinct(), on="url", how="left_semi"
-        )
-    # two consumers (delete files + cuckoo delete) — materialize once;
-    # also fixes the row count for the metrics without a second scan
-    purged = purged.localCheckpoint(eager=True)
-    n_purged = purged.count()
+        ).localCheckpoint(eager=True)
+    else:
+        purged_seen = purged.limit(0)
+    n_purged_seen = purged_seen.count()
 
     round_id = store.current_round() + 1
     manifest = store.manifest() or {"tables": {}}
@@ -109,7 +119,7 @@ def purge_urls(
         if shards is not None:
             ns = n_shards or cm["n_shards"]
             snapshots["seen_cuckoo"] = CK.delete_from_cuckoo_shards(
-                shards, purged, ns
+                shards, purged_seen, ns
             )
             meta["seen_cuckoo"] = {**cm, "round": round_id}
             cuckoo_kept_fresh = True
@@ -130,7 +140,8 @@ def purge_urls(
     store.commit(round_id, snapshots=snapshots, deletes=deletes, meta=meta)
     return {
         "round": round_id,
-        "urls_purged": n_purged,
+        "urls_purged": n_purged,          # full canonicalized request list
+        "urls_purged_seen": n_purged_seen,  # subset that was in seen
         "cuckoo_kept_fresh": cuckoo_kept_fresh,
         "bloom_invalidated": bloom_invalidated,
     }
@@ -142,13 +153,27 @@ def purge_hosts(
     hosts: list[str],
     n_shards: int | None = None,
 ) -> dict:
-    """Retire whole hosts (the north star's "purged hosts" case): every seen
-    url of the given hosts goes through :func:`purge_urls`.  The url list is
-    derived from the seen table itself — one pruned scan, no caller-side
-    materialization."""
-    seen = store.load(spark, "seen")
-    if seen is None:
+    """Retire whole hosts (the north star's "purged hosts" case): every url
+    of the given hosts, from EVERY url-bearing surface, goes through
+    :func:`purge_urls`.  Deriving the list from seen alone would miss posts
+    whose text fetch has not succeeded yet and frontier retry/pending rows —
+    those urls never entered seen but must still be retired (host-retirement
+    / GDPR contract).  One pruned scan per surface, union-distinct; no
+    caller-side materialization."""
+    per_table = []
+    for table in ("seen", "posts", "frontier", "frontier_failed"):
+        df = store.load(spark, table)
+        if df is not None and "url" in df.columns:
+            per_table.append(
+                df.select("url").filter(
+                    U.url_host(F.col("url")).isin(list(hosts))
+                )
+            )
+    if not per_table:
         return {"round": store.current_round(), "urls_purged": 0,
+                "urls_purged_seen": 0,
                 "cuckoo_kept_fresh": False, "bloom_invalidated": False}
-    urls = seen.select("url").filter(U.url_host(F.col("url")).isin(list(hosts)))
+    from functools import reduce
+
+    urls = reduce(lambda a, b: a.unionByName(b), per_table)
     return purge_urls(spark, store, urls, n_shards=n_shards)

@@ -222,7 +222,10 @@ def merge_cuckoo_shards(
         if len(bdf) == 0:  # no stored blob: fresh build for this shard
             if len(h) == 0:
                 return pd.DataFrame(columns=["shard", "m", "table", "ok"])
-            table = build_table(h)
+            # same 2x headroom as bootstrap/rebuild: a mid-stream fresh shard
+            # sized at 1x sits near full load and would overflow (→ full
+            # rebuild) on its very next delta
+            table = build_table(h, m=_table_size(max(1, int(len(h) * 2.0))))
             shard = int(cdf["shard"].iloc[0])
             return pd.DataFrame(
                 {"shard": [shard], "m": [table.shape[0]],

@@ -234,6 +234,26 @@ class SnapshotStore:
     def _abs(self, rel: str) -> str:
         return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
 
+    @staticmethod
+    def _seq_col(table: str, prefix: str, src=None):
+        """Round/sequence number from a data file path, anchored to the
+        table directory (``.../{table}/{prefix}NNNNNN...``) so a look-alike
+        segment elsewhere in the store root can never match.  A path that
+        does NOT match raises at scan time — a silent null sequence would
+        disable delete hiding."""
+        import re as _re
+
+        src = F.input_file_name() if src is None else src
+        pat = f"/{_re.escape(table)}/{prefix}(\\d{{6}})"
+        ext = F.regexp_extract(src, pat, 1)
+        return F.when(
+            ext == "",
+            F.raise_error(F.concat(
+                F.lit(f"store file path lacks /{table}/{prefix}NNNNNN "
+                      "sequence segment: "), src,
+            )),
+        ).otherwise(ext.cast("long"))
+
     def load(self, spark: SparkSession, table: str) -> DataFrame | None:
         m = self.manifest()
         if m is None or table not in m["tables"]:
@@ -259,20 +279,20 @@ class SnapshotStore:
             from functools import reduce
 
             keys = dels["keys"]
+            # sequence patterns are ANCHORED to the table's own directory —
+            # an unanchored /r(\d{6}) would match a store ROOT that happens
+            # to contain such a segment (.../r000123/store/...) and extract
+            # the wrong round; _seq_col additionally fails loudly on a
+            # non-matching path instead of yielding a null _seq (a null
+            # would make the anti-join condition null and silently stop
+            # hiding deleted rows)
             b = base.withColumn(
                 "_seq",
-                F.regexp_extract(
-                    F.input_file_name(), r"/(?:base_)?r(\d{6})", 1
-                ).cast("long"),
+                self._seq_col(table, r"(?:base_)?r"),
             ).alias("b")
             ddf = (
                 spark.read.parquet(*[self._abs(p) for p in dels["paths"]])
-                .withColumn(
-                    "_dseq",
-                    F.regexp_extract(
-                        F.input_file_name(), r"/d(\d{6})", 1
-                    ).cast("long"),
-                )
+                .withColumn("_dseq", self._seq_col(table, "d"))
                 .groupBy(*keys).agg(F.max("_dseq").alias("_dseq"))
                 .alias("d")
             )
@@ -304,8 +324,7 @@ class SnapshotStore:
                 dk = dels["keys"]
                 p = pdf.withColumn(
                     "_pseq",
-                    F.regexp_extract(F.col("_src"), r"/p(\d{6})", 1)
-                    .cast("long"),
+                    self._seq_col(table, "p", src=F.col("_src")),
                 ).alias("p")
                 pcond = _reduce(
                     lambda a, c: a & c,

@@ -146,8 +146,10 @@ def test_engine_purge_cuckoo_stays_fresh(spark, corpus, tmp_path):
 
 
 def test_purge_unknown_urls_noop(spark, corpus, tmp_path):
-    """URLs never seen are filtered out (cuckoo delete safety) — the purge
-    is a no-op and reports zero."""
+    """URLs never crawled: the delete keys match nothing (harmless data
+    no-op) and the cuckoo-delete input is empty (only actually-seen keys are
+    safe to delete in place) — urls_purged reports the request size,
+    urls_purged_seen reports zero."""
     pages, seeds, robots = _dfs(spark, corpus)
     store = SnapshotStore(str(tmp_path / "s"))
     cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False, max_depth=1)
@@ -157,8 +159,37 @@ def test_purge_unknown_urls_noop(spark, corpus, tmp_path):
         spark, store,
         spark.createDataFrame([("https://never.example.com/x",)], ["url"]),
     )
-    assert m["urls_purged"] == 0
+    assert m["urls_purged"] == 1
+    assert m["urls_purged_seen"] == 0
     assert store.load(spark, "posts").count() == n_before
+
+
+def test_purge_reaches_unseen_inflight_rows(spark, corpus, tmp_path):
+    """ADVICE r4 (medium): a post whose text fetch has NOT yet succeeded has
+    a metadata row in posts (text to be MoR-patched later) but its url never
+    entered seen.  The purge contract is 'gone from every surface', so those
+    in-flight rows must be deleted too — the old seen-semi-join skipped them
+    and the host kept resurrecting."""
+    golden = simulate_reference_crawl(corpus)
+    target = next(p["url"] for p in golden["posts"] if p["full_text"])
+    pages, seeds, robots = _dfs(spark, corpus)
+    pages_broken = pages.filter(F.col("url") != target)  # text fetch misses
+    store = SnapshotStore(str(tmp_path / "s"))
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False, max_depth=1)
+    run_crawl(spark, store, pages_broken, seeds, robots, None, cfg)
+    # precondition: metadata row exists, url is NOT seen (fetch failed)
+    assert store.load(spark, "posts").filter(F.col("url") == target).count() == 1
+    assert store.load(spark, "seen").filter(F.col("url") == target).count() == 0
+
+    m = purge_urls(spark, store, spark.createDataFrame([(target,)], ["url"]))
+    assert m["urls_purged"] == 1 and m["urls_purged_seen"] == 0
+    assert store.load(spark, "posts").filter(F.col("url") == target).count() == 0
+    frontier = store.load(spark, "frontier")
+    if frontier is not None:
+        assert frontier.filter(F.col("url") == target).count() == 0
+    ff = store.load(spark, "frontier_failed")
+    if ff is not None:
+        assert ff.filter(F.col("url") == target).count() == 0
 
 
 def test_purge_hosts_retires_whole_host(spark, corpus, tmp_path):
@@ -178,7 +209,11 @@ def test_purge_hosts_retires_whole_host(spark, corpus, tmp_path):
         U.url_host(F.col("url")) == "guba.eastmoney.com"
     ).count()
     m = purge_hosts(spark, store, ["guba.eastmoney.com"])
-    assert m["urls_purged"] == n_guba
+    # the request now unions every url-bearing surface (frontier rows that
+    # never reached seen are retired too); the seen-matched subset is still
+    # exactly the seen host slice
+    assert m["urls_purged_seen"] == n_guba
+    assert m["urls_purged"] >= n_guba
     left = store.load(spark, "seen")
     assert left.filter(
         U.url_host(F.col("url")) == "guba.eastmoney.com"
