@@ -65,6 +65,53 @@ def test_nshards_drift_rebuilds_not_misprobes(spark, tmp_path):
     assert blobs.select(F.max("shard")).first()[0] <= 3
 
 
+def test_posts_bloom_flavor_equals_exact(spark, tmp_path):
+    """r4 verdict item 2: the posts-key bloom front-filter must be invisible
+    to results.  Crawl a stock subset (start_code cursor), then the full
+    seed list — the second round mixes fresh items (bloom misses) with
+    re-listed stored items (suspects → exact confirm).  Bloom and exact
+    flavors must produce identical posts tables, including crawl_seq."""
+    corpus = build_corpus(FixtureConfig(n_stocks=2, max_count=40, adversarial=False))
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+    codes = sorted(r[0] for r in seeds.select("stock_code").distinct().collect())
+    assert len(codes) >= 2
+    cursor = str(codes[1]).zfill(6)
+
+    tables = {}
+    for flavor, use_bloom in (("bloom", True), ("exact", False)):
+        store = SnapshotStore(str(tmp_path / flavor))
+        base = dict(n_shards=8, fetch_partitions=4, max_depth=1)
+        run_crawl(spark, store, pages, seeds, robots, None,
+                  CrawlConfig(use_bloom=use_bloom, start_code=cursor, **base))
+        m = run_crawl(spark, store, pages, seeds, robots, None,
+                      CrawlConfig(use_bloom=use_bloom, **base))
+        assert m["posts_new"] > 0  # the uncursored round added the new stock
+        _assert_store_sane(spark, store)
+        tables[flavor] = {
+            (r.stock_code, r.content_type, r.url_id): (r.crawl_seq, r.title)
+            for r in store.load(spark, "posts").collect()
+        }
+    assert tables["bloom"] == tables["exact"]
+
+
+def test_posts_bloom_meta_tracks_rounds(spark, tmp_path):
+    """The posts-key index commits with geometry + covered round every bloom
+    round (freshness contract), and a recrawl with the index fresh adds
+    nothing and keeps the store duplicate-free (all-suspects path)."""
+    pages, seeds, robots = _small_corpus(spark)
+    store = SnapshotStore(str(tmp_path / "s"))
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=True, max_depth=1)
+    run_crawl(spark, store, pages, seeds, robots, None, cfg)
+    pbm = store.meta()["posts_bloom"]
+    assert pbm["n_shards"] == 8 and pbm["round"] == 0
+    m = run_crawl(spark, store, pages, seeds, robots, None, cfg)
+    assert m["posts_new"] == 0
+    _assert_store_sane(spark, store)
+    assert store.meta()["posts_bloom"]["round"] == 1
+
+
 def test_bloom_off_round_marks_index_stale(spark, tmp_path):
     """A use_bloom=False round appends to seen without updating the index;
     the next bloom-on round must detect the lag and rebuild instead of

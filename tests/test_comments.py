@@ -87,3 +87,60 @@ def test_comments_recrawl_idempotent(spark, crawl_with_comments):
     n_before = store.load(spark, "comments").count()
     m = run_crawl(spark, store, pages, seeds, robots, None, cfg)
     assert store.load(spark, "comments").count() == n_before
+
+
+def test_comment_late_retry_sees_full_window(spark, tmp_path):
+    """r4 verdict item 1: the X9 window union is pruned to THIS round's
+    touched posts (O(delta), not O(comment corpus)) — and a retried page
+    landing a round late must still infer against the complete stored state
+    of its post.  Break the LAST reply page of a multi-page post in round 0;
+    round 1 refetches it, and its rows' inferred years must equal the
+    full-sequence golden (they only do if the window saw the stored earlier
+    pages).  Untouched posts must not be re-emitted."""
+    corpus = build_corpus(FixtureConfig(n_stocks=2, max_count=120, adversarial=False))
+    golden = simulate_reference_crawl(corpus)
+    last_page = {}
+    for c in golden["comments"]:
+        k = (c["stock_code"], c["content_type"], c["post_url_id"])
+        last_page[k] = max(last_page.get(k, 1), c["page"])
+    target_key = max(last_page, key=last_page.get)
+    assert last_page[target_key] >= 2, "fixture must have a multi-page post"
+    stock, ctype, pid = target_key
+    target_url = (
+        f"https://guba.eastmoney.com/replylist,{stock},{pid}_"
+        f"{last_page[target_key]}.html"
+    )
+    assert any(p["url"] == target_url for p in corpus["pages"])
+
+    pages_full = spark.createDataFrame(corpus["pages"], PAGES)
+    pages_broken = pages_full.filter(F.col("url") != target_url)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+    store = SnapshotStore(str(tmp_path / "s"))
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=8, use_bloom=False)
+
+    run_crawl(spark, store, pages_broken, seeds, robots, None, cfg)  # r0: miss
+    n_r0 = store.load(spark, "comments").count()
+    assert n_r0 < len(golden["comments"])
+    run_crawl(spark, store, pages_full, seeds, robots, None, cfg)    # r1: late
+
+    got = {
+        (r.stock_code, r.content_type, r.post_url_id, r.reply_id): r
+        for r in store.load(spark, "comments").collect()
+    }
+    exp = {
+        (c["stock_code"], c["content_type"], c["post_url_id"], c["reply_id"]): c
+        for c in golden["comments"]
+    }
+    assert set(got) == set(exp)  # complete, no duplicates
+    for k, c in exp.items():
+        assert got[k].reply_time == c["reply_time"], k
+    # the late page's rows really were the round-1 delta (everything else
+    # committed in round 0 and was not touched again)
+    late = [r for r in got.values()
+            if (r.stock_code, r.content_type, r.post_url_id) == target_key
+            and r.page == last_page[target_key]]
+    assert late and all(r.round == 1 for r in late)
+    untouched = [r for r in got.values()
+                 if (r.stock_code, r.content_type, r.post_url_id) != target_key]
+    assert untouched and all(r.round == 0 for r in untouched)
