@@ -735,6 +735,64 @@ def q_crawl_fixture_round(spark, sf):
     return store.load(spark, "posts").select(*_CRAWL_FIXTURE_COLS)
 
 
+_ANN_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
+
+
+def _ann_oracle_path(flavor: str) -> str:
+    """Oracle path keyed by a content hash of the replication module — edits
+    to fixtures/annoracle.py (or the pipeline params below) regenerate the
+    parquet instead of gating against a stale file."""
+    import hashlib
+
+    from eastmoneygubacrawler_spark.fixtures import annoracle as _ann_mod
+
+    with open(_ann_mod.__file__, "rb") as f:
+        tag = hashlib.md5(f.read() + _ANN_ORACLE_SF_DIR.encode()).hexdigest()[:12]
+    return f"/tmp/egs_ann_oracle_{tag}/{flavor}_topk.parquet"
+
+
+def _ensure_ann_oracle() -> dict:
+    """Materialize numpy generator-truth expected top-k for the deterministic
+    LSH and IVF pipelines (r4 verdict item 4) — graduates both from rows-only
+    to full hash gates.  Params here mirror q_ann_topk_lsh / q_ann_topk_ivf
+    exactly; the bench recall floors stay as quality tripwires."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eastmoneygubacrawler_spark.fixtures import annoracle as A
+
+    paths = {f: _ann_oracle_path(f) for f in ("lsh", "ivf")}
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    ids, emb = A.load_embeddings(f"{_ANN_ORACLE_SF_DIR}/embeddings.parquet")
+    qmask = ids < 3
+    rows = {
+        "lsh": A.expected_topk_lsh(
+            ids, emb, qmask, k=5, n_planes=6, probes=6, n_tables=4, dim=64
+        ),
+        "ivf": A.expected_topk_ivf(
+            ids, emb, qmask, k=5, n_clusters=8, n_probe=3, dim=64
+        ),
+    }
+    schema = pa.schema([
+        ("query_id", pa.int64()), ("vec_id", pa.int64()),
+        ("cosine", pa.float64()), ("rank", pa.int32()),
+    ])
+    for flavor, path in paths.items():
+        table = pa.table(
+            {c: [r[i] for r in rows[flavor]]
+             for i, c in enumerate(schema.names)},
+            schema=schema,
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    return paths
+
+
 def _media_oracle_path() -> str:
     """Oracle path keyed by a content hash of the fixture module, so editing
     fixtures/media.py (corpus or expected-feature contract) regenerates the
@@ -858,8 +916,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle = generator-side media ground truth (stats from the raw
         # arrays BEFORE encoding), materialized as parquet
         "multimodal_features": q_multimodal_features,
-        # rows-only (no oracle): approximate by design — recall-gated
-        # against the exact brute path in bench.py instead
+        # oracle = numpy generator-truth replay of the deterministic
+        # LSH/IVF pipelines (fixtures/annoracle.py), materialized as
+        # parquet; recall vs brute additionally gated in bench.py
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
     }
@@ -1053,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
     # written here so the file exists whichever side the driver runs first
     sim_path = _ensure_crawl_sim_oracle()
     media_path = _ensure_media_oracle()
+    ann_paths = _ensure_ann_oracle()
     return {
         "crawl_fixture_round": f"""
             SELECT stock_code, content_type, url_id, url, title, crawl_seq,
@@ -1530,5 +1590,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.9
+        """,
+        # approximate-ANN oracles: numpy generator-truth replay of the
+        # seeded, deterministic pipelines (valid at the driver's sf0.01 —
+        # the expected candidates depend on the input table)
+        "ann_topk_lsh": f"""
+            SELECT query_id, vec_id, cosine, rank
+            FROM read_parquet('{ann_paths["lsh"]}')
+        """,
+        "ann_topk_ivf": f"""
+            SELECT query_id, vec_id, cosine, rank
+            FROM read_parquet('{ann_paths["ivf"]}')
         """,
     }

@@ -142,14 +142,18 @@ def topk_lsh(
     q_probes = q_sig.select(
         query_id_col, "qvec", "table", F.explode(probe_buckets).alias("bucket")
     )
+    # cosine BEFORE the dedup: a pair colliding in several tables/probes
+    # recomputes the (JVM-side, map-local) cosine per collision, but the
+    # dedup exchange then carries only (query_id, id, cosine) ≈ 24 bytes —
+    # not two dim-sized vectors per row (~1 KB at dim=64, the r4 verdict's
+    # item 5).  Values are identical per pair, so distinct collapses them
+    # map-side; candidates and ranks are bit-identical to the old layout.
     cand = (
         corpus_sig.join(F.broadcast(q_probes), on=["table", "bucket"])
         .filter(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col, vec_col, "qvec")
-    )
-
-    cand = cand.distinct().withColumn(
-        "cosine", F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6)
+        .withColumn("cosine", F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6))
+        .select(query_id_col, id_col, "cosine")
+        .distinct()
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
