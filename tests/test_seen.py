@@ -113,6 +113,13 @@ def test_no_driver_collect_in_operators():
             assert ".collect()" not in src and ".toPandas()" not in src, (
                 f"{sub}/{p.name}"
             )
+    # useragents sits on the HttpFetcher hot path: beyond the collect ban,
+    # even count()/head() driver round-trips are banned there (the
+    # all-blacklisted reset is a data-side broadcast decision, r4 item 6)
+    ua_src = (pkg / "operators" / "useragents.py").read_text()
+    assert ".count()" not in ua_src and ".head(" not in ua_src, (
+        "useragents must stay driver-round-trip-free"
+    )
 
 
 def test_engine_bloom_path_equals_exact_path(spark, tmp_path):
