@@ -68,8 +68,14 @@ class CrawlConfig:
     # the exchange on the SMJ path); "scan_extract" = bloom-pruned scan with
     # the extraction fused INTO the scan stage — html never shuffles, only
     # the small text rows do (the unbounded-batch 100 TB path; see
-    # engine/fetch.scan_extract)
-    text_fetch_mode: str = "join"
+    # engine/fetch.scan_extract); "auto" (default) picks per the MEASURED
+    # mean html size of previous rounds (manifest meta "mean_text_bytes"):
+    # the fat-html study (BENCH/fat_html_modes.json) showed scan_extract
+    # 2.75x faster at 56 KB pages while join wins at 3 KB — auto crosses
+    # over at scan_extract_bytes_threshold, and cold-starts as "join"
+    # until the store has a measurement
+    text_fetch_mode: str = "auto"
+    scan_extract_bytes_threshold: int = 16384
     # F2 resume cursor (core/scheduler.py:206-217): only seeds >= start_code
     # (asc) / <= start_code (desc) are crawled this round
     start_code: str | None = None
@@ -529,6 +535,20 @@ def run_crawl(
     # failed fetches persist as frontier retry rows, refetched next round
     # while attempts < max_attempts; over-budget rows carry over as pending.
     frontier_prev = store.load(spark, "frontier")
+    # adaptive fetch-mode (r4 verdict item 8): the caller used to pick the
+    # depth-1 strategy blind; "auto" derives it from the mean html bytes the
+    # store has actually measured (manifest meta, written every round below
+    # — no extra scan).  Cold start (no measurement yet) = "join", the
+    # measured-best mode for small pages.
+    text_mode = cfg.text_fetch_mode
+    if text_mode == "auto":
+        mb = store_meta.get("mean_text_bytes")
+        text_mode = (
+            "scan_extract"
+            if mb is not None and mb > cfg.scan_extract_bytes_threshold
+            else "join"
+        )
+    mean_text_bytes = None
     cand_cols = ["url", "host_rank", "type_rank", "page", "item_seq", "attempts"]
     d1_cand = None
     if n_posts_new > 0:
@@ -604,7 +624,7 @@ def run_crawl(
             d1_cand, text_budget, host_budgets=text_budgets
         ).transform(_cached)
         unscheduled = d1_cand.join(scheduled.select("url"), "url", "left_anti")
-        if cfg.text_fetch_mode == "scan_extract":
+        if text_mode == "scan_extract":
             from .fetch import scan_extract
 
             fe = scan_extract(pages, scheduled, extract_text_udf)
@@ -654,6 +674,12 @@ def run_crawl(
             F.col("extract_status").isin("ok", "fund")
         ).select("url", "full_text", "full_text_time")
         n_text_fetched = fetched_posts.count()
+        if n_text_fetched > 0:
+            # one scalar off the already-cached frame: the measured mean
+            # html size that drives next round's auto mode selection
+            mb_row = fetched_posts.agg(F.avg("bytes")).head(1)
+            if mb_row and mb_row[0][0] is not None:
+                mean_text_bytes = round(float(mb_row[0][0]), 1)
         _mark('text_fetch_extract')
         post_seen_urls = text_ok.select("url")
 
@@ -1039,6 +1065,8 @@ def run_crawl(
 
     snapshots = {"frontier": frontier_out}
     commit_meta: dict = {}
+    if mean_text_bytes is not None:
+        commit_meta["mean_text_bytes"] = mean_text_bytes
     if n_posts_new > 0:
         commit_meta["posts_rows"] = prev_count + n_posts_new
     elif "posts_rows" not in store_meta and posts_prev is None:
@@ -1157,5 +1185,7 @@ def run_crawl(
         "urls_fetched": urls_fetched,
         "wall_s": wall_s,
         "phases": phase_t,
+        "text_fetch_mode": text_mode,  # the EFFECTIVE depth-1 strategy
+        "mean_text_bytes": mean_text_bytes,
         "throughput_urls_per_s": urls_fetched / wall_s if wall_s > 0 else 0.0,
     }

@@ -36,7 +36,8 @@ def main() -> None:
     ap.add_argument("--n-salts", type=int, default=64)
     ap.add_argument("--fetch-partitions", type=int, default=0, help="0 = defaultParallelism")
     ap.add_argument(
-        "--text-fetch-mode", default="join", choices=["join", "scan_extract"],
+        "--text-fetch-mode", default="auto",
+        choices=["auto", "join", "scan_extract"],
         help="depth-1 strategy: scan_extract fuses extraction into the pages "
              "scan (html never shuffles) — measured 2x at real-web html sizes",
     )

@@ -339,6 +339,54 @@ def test_scan_extract_mode_equals_join_mode(spark, tmp_path):
     assert run("scan_extract", "scan") == run("join", "join")
 
 
+def test_auto_mode_selects_by_measured_html_size(spark, tmp_path):
+    """r4 verdict item 8: text_fetch_mode='auto' derives the depth-1
+    strategy from the mean html bytes the store measured — a thin corpus
+    (≈3 KB pages, join measured best) keeps the join path; a fat corpus
+    (≈40 KB pages, scan_extract measured 2.75x best at 56 KB) switches to
+    scan_extract once the first round has recorded the measurement."""
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    corpus = build_corpus(FixtureConfig(n_stocks=1, max_count=40, adversarial=False))
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+    cfg = CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False, max_depth=1)
+    assert cfg.text_fetch_mode == "auto"  # the derived default
+
+    # thin corpus: cold start join, measurement stays under the threshold
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    s1 = SnapshotStore(str(tmp_path / "thin"))
+    m0 = run_crawl(spark, s1, pages, seeds, robots, None, cfg)
+    assert m0["text_fetch_mode"] == "join"
+    thin_mb = s1.meta()["mean_text_bytes"]
+    assert 0 < thin_mb <= cfg.scan_extract_bytes_threshold
+    m1 = run_crawl(spark, s1, pages, seeds, robots, None, cfg)
+    assert m1["text_fetch_mode"] == "join"
+    n_thin = s1.load(spark, "posts").filter(F.col("full_text").isNotNull()).count()
+    assert n_thin > 0
+
+    # fat corpus: pad the post pages past the threshold (trailing comment —
+    # extraction output must be unchanged)
+    pad = b"<!--" + b"x" * 40000 + b"-->"
+    fat_rows = [
+        {**p, "html": p["html"] + pad} if "/news," in p["url"] else dict(p)
+        for p in corpus["pages"]
+    ]
+    fat = spark.createDataFrame(fat_rows, PAGES)
+    s2 = SnapshotStore(str(tmp_path / "fat"))
+    f0 = run_crawl(spark, s2, fat, seeds, robots, None, cfg)
+    assert f0["text_fetch_mode"] == "join"  # cold start: nothing measured yet
+    assert s2.meta()["mean_text_bytes"] > cfg.scan_extract_bytes_threshold
+    f1 = run_crawl(spark, s2, fat, seeds, robots, None, cfg)
+    assert f1["text_fetch_mode"] == "scan_extract"
+    # padding altered neither extraction nor the crawl outcome
+    n_fat = s2.load(spark, "posts").filter(F.col("full_text").isNotNull()).count()
+    assert n_fat == n_thin
+
+
 def test_http_fetcher_slots_preserve_aggregate_rate(spark):
     """P3 per-host concurrency: with 2 slots each stream paces at 2×delay, so
     all fetches still arrive and the per-stream lower bound holds."""
