@@ -62,10 +62,21 @@ def measure(n_cores: int) -> float:
 
 if __name__ == "__main__":
     results = {}
-    for n in (1, 4, 16):
-        results[f"aggregate_gb_s_{n}_cores"] = round(measure(n), 2)
+    reps = int(os.environ.get("MEMBW_REPS", "3"))
+    for n in (1, 2, 4, 8, 16):
+        # best-of-reps: this VM shows heavy neighbor interference (an 8-core
+        # pass once read BELOW the 2-core pass); contention only ever lowers
+        # achievable bandwidth, so max over repetitions estimates the ceiling
+        results[f"aggregate_gb_s_{n}_cores"] = round(
+            max(measure(n) for _ in range(reps)), 2
+        )
+    r2 = results["aggregate_gb_s_2_cores"]
     r4 = results["aggregate_gb_s_4_cores"]
+    r8 = results["aggregate_gb_s_8_cores"]
     r16 = results["aggregate_gb_s_16_cores"]
+    # both north-rule spans: the hardware's own N→4N bandwidth scaling is
+    # the ceiling for any memory-bound phase at that span
+    results["bw_scaling_2_to_8"] = round(r8 / (4 * r2), 3)
     results["bw_scaling_4_to_16"] = round(r16 / (4 * r4), 3)
     print(json.dumps(results))
     with open(os.path.join(os.path.dirname(__file__), "membw.json"), "w") as f:

@@ -767,6 +767,7 @@ def main_multiround(
 def main_scaling(
     cores_lo: int = 4, cores_hi: int = 16,
     n_stocks: int = 240, items_per_type: int = 2000,
+    passes: int = 1,
 ) -> None:
     """North-rule scaling evidence: the SAME crawl job over the SAME parquet
     corpus at N and 4N cores (sandbox proxy for N and 4N executors), each in
@@ -774,14 +775,18 @@ def main_scaling(
 
     The corpus is sized so the compute (vectorized parse/extract over ~500k
     pages) dominates fixed driver latency — at fixture scale the measurement
-    is meaningless (every job pays ~constant scheduling cost)."""
+    is meaningless (every job pays ~constant scheduling cost).
+
+    ``passes`` > 1 alternates whole lo/hi measurements (each already
+    best-of-EGS_SCALE_ITERS in its own pinned JVM) and takes the best per
+    level — this VM shows neighbor interference that only ever LOWERS a
+    level, so max-over-passes estimates the achievable ratio."""
     import subprocess
 
     corpus_dir = _ensure_bigcorpus(n_stocks, items_per_type)
-    results = {}
     import shutil as _sh
 
-    for cores in (cores_lo, cores_hi):
+    def _measure(cores: int) -> dict:
         # CPU-pin the worker: local[N] bounds task slots, not CPUs — without
         # pinning the N-core run leaks GC/IO/Python-worker threads onto the
         # idle cores and the comparison is not N vs 4N resources.  A cluster
@@ -798,15 +803,39 @@ def main_scaling(
             print(proc.stdout[-2000:], file=sys.stderr)
             print(proc.stderr[-2000:], file=sys.stderr)
             raise RuntimeError(f"scaling worker {cores} produced no result")
-        results[cores] = json.loads(line.removeprefix("SCALING_RESULT "))
+        return json.loads(line.removeprefix("SCALING_RESULT "))
 
-    lo, hi = results[cores_lo], results[cores_hi]
+    pass_rows = []
+    best: dict = {}
+    for p in range(passes):
+        row = {"pass": p + 1}
+        for cores in (cores_lo, cores_hi):
+            m = _measure(cores)
+            row[f"thpt_{'lo' if cores == cores_lo else 'hi'}"] = round(
+                m["throughput_urls_per_s"], 1
+            )
+            if (
+                cores not in best
+                or m["throughput_urls_per_s"]
+                > best[cores]["throughput_urls_per_s"]
+            ):
+                best[cores] = m
+        pass_rows.append(row)
+        print(json.dumps(row))
+
+    lo, hi = best[cores_lo], best[cores_hi]
     eff = hi["throughput_urls_per_s"] / (
         (cores_hi / cores_lo) * lo["throughput_urls_per_s"]
     )
+    phase_eff = {}
+    for ph in ("text_fetch_extract", "list_fetch_parse", "posts_project", "commit"):
+        a, b = lo["phases"].get(ph), hi["phases"].get(ph)
+        if a and b:
+            phase_eff[ph] = round(a / b / (cores_hi / cores_lo), 3)
     out = {
         "cores_lo": cores_lo,
         "cores_hi": cores_hi,
+        "passes": pass_rows,
         "thpt_lo_urls_per_s": round(lo["throughput_urls_per_s"], 1),
         "thpt_hi_urls_per_s": round(hi["throughput_urls_per_s"], 1),
         "wall_lo_s": round(lo["wall_s"], 2),
@@ -814,6 +843,12 @@ def main_scaling(
         "urls_fetched": hi["urls_fetched"],
         "posts_new": hi["posts_new"],
         "scaling_efficiency": round(eff, 3),
+        f"phase_efficiencies_{cores_lo}_to_{cores_hi}": phase_eff,
+        # absolute phase walls of the best run per level — without these the
+        # phase ratios can't be weighed (a 0.4-efficiency phase that is 3% of
+        # the wall is noise; the same ratio at 30% is the story)
+        "phases_lo_s": {k: v for k, v in lo["phases"].items()},
+        "phases_hi_s": {k: v for k, v in hi["phases"].items()},
     }
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
@@ -1149,7 +1184,12 @@ if __name__ == "__main__":
         i = sys.argv.index("--scaling-worker")
         scaling_worker(int(sys.argv[i + 1]), sys.argv[i + 2])
     elif "--scaling" in sys.argv:
-        main_scaling()
+        lo, hi = 4, 16
+        if "--cores" in sys.argv:  # e.g. --cores 2,8
+            lo, hi = map(int, sys.argv[sys.argv.index("--cores") + 1].split(","))
+        main_scaling(
+            lo, hi, passes=int(os.environ.get("EGS_SCALE_PASSES", "1"))
+        )
     elif "--multiround" in sys.argv:
         ph = "ab"
         if "--phases" in sys.argv:
