@@ -35,17 +35,36 @@ _P_CLOSERS = frozenset("p div ul ol li table article section nav header footer a
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_pos", "_end", "_elements")
 
     def __init__(self, tag: str, attrs: dict | None = None, parent: "Node | None" = None):
         self.tag = tag
         self.attrs = attrs or {}
         self.children: list = []  # Node or str (text)
         self.parent = parent
+        # document-order element index maintained by the tree builder: _pos is
+        # this element's pre-order position, _end the position just past its
+        # last descendant, so the subtree is the contiguous slice
+        # elements[_pos+1:_end].  _elements is set on the root only;
+        # decompose() invalidates it and traversal falls back to walking.
+        self._pos = None
+        self._end = None
+        self._elements = None
 
     # -- tree traversal -----------------------------------------------------
+    def _doc_elements(self):
+        node = self
+        while node.parent is not None:
+            node = node.parent
+        return node._elements
+
     def descendants(self):
         """Pre-order element descendants (excluding self)."""
+        els = self._doc_elements()
+        if els is not None and self._pos is not None and self._end is not None:
+            for i in range(self._pos + 1, self._end):
+                yield els[i]
+            return
         stack = list(reversed([c for c in self.children if isinstance(c, Node)]))
         while stack:
             node = stack.pop()
@@ -121,6 +140,10 @@ class Node:
 
     def decompose(self):
         if self.parent is not None:
+            root = self
+            while root.parent is not None:
+                root = root.parent
+            root._elements = None  # positions go stale; revert to tree walks
             self.parent.children = [c for c in self.parent.children if c is not self]
             self.parent = None
 
@@ -247,8 +270,13 @@ def _select_group(root: Node, group: str) -> list[Node]:
                     nxt.append(c)
         current = nxt
     # document order
-    order = {id(n): i for i, n in enumerate(root.descendants())}
-    current.sort(key=lambda n: order.get(id(n), 1 << 60))
+    if root._doc_elements() is not None:
+        current.sort(
+            key=lambda n: n._pos if n._pos is not None else 1 << 60
+        )
+    else:
+        order = {id(n): i for i, n in enumerate(root.descendants())}
+        current.sort(key=lambda n: order.get(id(n), 1 << 60))
     return current
 
 
@@ -257,6 +285,7 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("[document]")
         self.stack = [self.root]
+        self.elements: list[Node] = []  # document (pre-order) element list
 
     def _open(self, tag, attrs_list):
         attrs = {}
@@ -265,8 +294,10 @@ class _TreeBuilder(HTMLParser):
         if tag == "p" or tag in _P_CLOSERS:
             # implicit </p> before block-level elements
             if self.stack[-1].tag == "p":
-                self.stack.pop()
+                self.stack.pop()._end = len(self.elements)
         node = Node(tag, attrs, parent=self.stack[-1])
+        node._pos = len(self.elements)
+        self.elements.append(node)
         self.stack[-1].children.append(node)
         return node
 
@@ -274,13 +305,19 @@ class _TreeBuilder(HTMLParser):
         node = self._open(tag, attrs_list)
         if tag not in VOID_TAGS:
             self.stack.append(node)
+        else:
+            node._end = node._pos + 1  # void element: empty subtree
 
     def handle_startendtag(self, tag, attrs_list):
-        self._open(tag, attrs_list)
+        node = self._open(tag, attrs_list)
+        node._end = node._pos + 1
 
     def handle_endtag(self, tag):
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
+                end = len(self.elements)
+                for n in self.stack[i:]:
+                    n._end = end
                 del self.stack[i:]
                 return
         # unmatched close tag: ignore
@@ -288,6 +325,136 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self.stack[-1].children.append(data)
+
+    def finish(self) -> Node:
+        end = len(self.elements)
+        for n in self.stack[1:]:  # implicitly closed at EOF
+            n._end = end
+        root = self.root
+        root._pos = -1
+        root._end = end
+        root._elements = self.elements
+        return root
+
+
+# -- fast single-pass tokenizer ---------------------------------------------
+# The stdlib HTMLParser is built for incremental feeds: every event pays
+# updatepos/rawdata-rebuffer/dispatch overhead, which profiles at ~70% of
+# extraction time.  This tokenizer makes ONE pass over the full document and
+# drives the same _TreeBuilder hooks.  Byte-equivalence strategy: it reuses
+# the stdlib's own tolerant regexes for tag/attribute parsing (so well-formed
+# tags parse identically, including entity unescape and quote handling) and
+# BAILS OUT — returning False so the caller re-parses with the stdlib — on
+# any construct whose tolerant-recovery behavior it does not replicate
+# (junk inside a start tag, gunked end tags, unterminated comments/cdata
+# constructs, a bare "<" in text).  Differential fuzzing in
+# tests/test_htmlmini.py asserts tree identity against the stdlib builder.
+from html import unescape as _unescape
+from html.parser import (  # type: ignore[attr-defined]
+    attrfind_tolerant as _attrfind,
+    commentclose as _commentclose,
+    endtagfind as _endtagfind,
+    locatestarttagend_tolerant as _locatestart,
+    tagfind_tolerant as _tagfind,
+)
+
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
+}
+_SP_SEMI = re.compile(r"[\s;]")
+
+
+def _fast_feed(s: str, builder: _TreeBuilder) -> bool:
+    """Tokenize the whole document in one pass; False = caller must fall
+    back to the stdlib parser (input outside the replicated subset)."""
+    i, n = 0, len(s)
+    cdata_elem = None
+    cdata_close = None
+    handle_data = builder.handle_data
+    while i < n:
+        if cdata_elem is None:
+            j = s.find("<", i)
+            if j < 0:
+                # full-document parse == feed()+close(): goahead's EOF flush
+                # emits the unescaped tail (except in cdata mode)
+                j = n
+            if i < j:
+                chunk = s[i:j]
+                handle_data(_unescape(chunk) if "&" in chunk else chunk)
+            i = j
+            if i == n:
+                break
+            c = s[i + 1 : i + 2]
+            if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+                m = _locatestart.match(s, i)
+                j2 = m.end()
+                nxt = s[j2 : j2 + 1]
+                if nxt == ">":
+                    endpos = j2 + 1
+                elif nxt == "/" and s.startswith("/>", j2):
+                    endpos = j2 + 2
+                else:
+                    return False  # junk in tag / EOF inside tag
+                tm = _tagfind.match(s, i + 1)
+                k = tm.end()
+                tag = tm.group(1).lower()
+                attrs = []
+                while k < endpos:
+                    am = _attrfind.match(s, k)
+                    if not am:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif (
+                        attrvalue[:1] == "'" == attrvalue[-1:]
+                        or attrvalue[:1] == '"' == attrvalue[-1:]
+                    ):
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+                end = s[k:endpos].strip()
+                if end == ">":
+                    builder.handle_starttag(tag, attrs)
+                    if tag in _CDATA_CLOSE:
+                        cdata_elem = tag
+                        cdata_close = _CDATA_CLOSE[tag]
+                elif end == "/>":
+                    builder.handle_startendtag(tag, attrs)
+                else:
+                    return False  # attr junk: stdlib re-emits tag as data
+                i = endpos
+            elif c == "/":
+                m = _endtagfind.match(s, i)
+                if not m:
+                    return False  # </>, gunked close, bogus comment
+                builder.handle_endtag(m.group(1).lower())
+                i = m.end()
+            elif s.startswith("<!--", i):
+                m = _commentclose.search(s, i + 4)
+                if not m:
+                    return False  # unterminated comment
+                i = m.end()  # comment events don't reach the tree
+            elif c == "?" or (c == "!" and not s.startswith("<![", i)):
+                gt = s.find(">", i + 1)
+                if gt < 0:
+                    return False
+                i = gt + 1  # pi / doctype / bogus decl: tree-neutral
+            else:
+                return False  # bare "<" in text or marked section
+        else:
+            m = cdata_close.search(s, i)
+            if m is None:
+                break  # HTMLParser drops unterminated cdata content
+            if i < m.start():
+                handle_data(s[i : m.start()])  # raw: no unescape in cdata
+            builder.handle_endtag(cdata_elem)
+            cdata_elem = None
+            i = m.end()
+    return True
 
 
 def parse_html(html) -> Node:
@@ -299,6 +466,12 @@ def parse_html(html) -> Node:
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="ignore")
     builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
-    return builder.root
+    try:
+        ok = _fast_feed(html, builder)
+    except Exception:
+        ok = False
+    if not ok:
+        builder = _TreeBuilder()
+        builder.feed(html)
+        builder.close()
+    return builder.finish()

@@ -95,3 +95,102 @@ def test_implicit_p_close():
 def test_bytes_input_decoded_utf8_ignore():
     root = parse_html("<div>中文</div>".encode("utf-8") + b"\xff\xfe")
     assert root.find("div").text == "中文"
+
+
+# -- fast-tokenizer equivalence ---------------------------------------------
+# parse_html tries a single-pass tokenizer first (htmlmini._fast_feed) and
+# falls back to the stdlib HTMLParser outside its replicated subset.  These
+# tests pin the equivalence contract: on inputs the fast path ACCEPTS, the
+# tree must be identical to the stdlib builder's, node for node.
+
+def _tree_sig(node):
+    sig = [node.tag, sorted(node.attrs.items())]
+    for c in node.children:
+        sig.append(c if isinstance(c, str) else _tree_sig(c))
+    return sig
+
+
+def _stdlib_tree(s):
+    import eastmoneygubacrawler_spark.functions.htmlmini as hm
+
+    b = hm._TreeBuilder()
+    b.feed(s)
+    b.close()
+    return b.finish()
+
+
+def _fast_tree(s):
+    import eastmoneygubacrawler_spark.functions.htmlmini as hm
+
+    b = hm._TreeBuilder()
+    try:
+        ok = hm._fast_feed(s, b)
+    except Exception:
+        ok = False
+    return b.finish() if ok else None
+
+
+def test_fast_tokenizer_differential_fuzz():
+    import random
+
+    rng = random.Random(20260817)
+    toks = [
+        "<div>", "</div>", '<div class="time">', "<p>", "</p>", "<br>",
+        '<span id="a">', "</span>", "text&amp;x ", "汉字 ", "<script>",
+        "</script>", 'var x="<div>";', '<img src="u"/>', "<a href='x'>",
+        "</a>", "<!-- c -->", "<!DOCTYPE html>", "<ul><li>item",
+        "</li></ul>", "&lt;tag&gt;", '<div id="post_content">',
+        "a &#60; b ", '<DIV CLASS="Time">', "</DIV>", "< notag", "<b>",
+        "</b>", "&incomplete", "<style>", "</style>", ".x{a:b}",
+        '<input type="text" value="a&amp;b">', "<td nowrap>", "</td>",
+        "<div data-x = bare >", "</section>",
+    ]
+    n_fast = 0
+    for _ in range(1500):
+        s = "".join(rng.choice(toks) for _ in range(rng.randint(1, 30)))
+        fast = _fast_tree(s)
+        if fast is None:
+            continue  # fallback path: stdlib parses it by construction
+        n_fast += 1
+        assert _tree_sig(fast) == _tree_sig(_stdlib_tree(s)), repr(s)
+    assert n_fast > 500  # the fast path must actually cover most inputs
+
+
+def test_fast_tokenizer_pathological_endings():
+    cases = [
+        "<", "a<", "<di", "<div", "<div ", "<div x", "x&", "&amp", "</",
+        "</d", "</div", "<script>x", "<script>x</script", "<!", "<!-",
+        "<!--", "<!-- x --", "<![CDATA[x]]>", "<?pi", "<?pi>", "a<>b",
+        "</ div>", "</div >", "<p/>", '<a b=">">c</a>',
+        "<script>a<b</script>c", "<style>p{}</style>t",
+    ]
+    for s in cases:
+        fast = _fast_tree(s)
+        if fast is not None:
+            assert _tree_sig(fast) == _tree_sig(_stdlib_tree(s)), repr(s)
+
+
+def test_fast_tokenizer_covers_fixture_pages():
+    # the corpus the engine actually crawls must ride the fast path (the
+    # fallback doubles parse cost); adversarial pages included
+    import eastmoneygubacrawler_spark.functions.htmlmini as hm
+    from eastmoneygubacrawler_spark.fixtures.generator import (
+        FixtureConfig, build_corpus,
+    )
+
+    corpus = build_corpus(
+        FixtureConfig(n_stocks=2, max_count=60, adversarial=True)
+    )
+    n_fallback = 0
+    for p in corpus["pages"]:
+        html = p["html"]
+        if isinstance(html, (bytes, bytearray)):
+            html = bytes(html).decode("utf-8", errors="ignore")
+        b = hm._TreeBuilder()
+        try:
+            ok = hm._fast_feed(html, b)
+        except Exception:
+            ok = False
+        if not ok:
+            n_fallback += 1
+    assert n_fallback == 0
