@@ -189,9 +189,18 @@ class SnapshotStore:
                 dels["paths"].append(rel)
 
         if jobs:
+            trace = os.environ.get("EGS_COMMIT_TIMINGS")
+
             def _write(job):
                 df, rel = job
+                t = time.time()
                 df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+                if trace:
+                    print(
+                        f"COMMIT_WRITE {rel} {time.time() - t:.3f}s "
+                        f"parts={df.rdd.getNumPartitions()}",
+                        flush=True,
+                    )
 
             with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
                 list(pool.map(_write, jobs))
