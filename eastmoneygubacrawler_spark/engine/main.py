@@ -54,10 +54,17 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from .crawl import CrawlConfig, run_crawl
-    from ..storage.backend import SnapshotStore
+    # Absolute imports: spark-submit executes this file as a top-level script
+    # (``__package__`` is empty), so relative imports would raise ImportError.
+    # The package itself arrives on sys.path via ``--py-files egs.zip``.
+    from eastmoneygubacrawler_spark.engine.crawl import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.session import apply_engine_conf
+    from eastmoneygubacrawler_spark.storage.backend import SnapshotStore
 
-    spark = SparkSession.builder.appName("egs-crawl").getOrCreate()
+    # Master / executor sizing come from spark-submit; only engine semantics
+    # (Beijing session tz, AQE, Arrow batching) are pinned here so a cluster
+    # run matches the tested local engine bit-for-bit.
+    spark = apply_engine_conf(SparkSession.builder.appName("egs-crawl")).getOrCreate()
     fetch_parts = args.fetch_partitions or spark.sparkContext.defaultParallelism
     cfg = CrawlConfig(
         n_shards=args.n_shards,

@@ -13,20 +13,18 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(
-    app_name: str = "eastmoneygubacrawler_spark",
-    master: str | None = None,
-    shuffle_partitions: int | None = None,
-    extra_conf: dict | None = None,
-) -> SparkSession:
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+def apply_engine_conf(builder: "SparkSession.Builder") -> "SparkSession.Builder":
+    """Engine-semantics configs, master-agnostic.
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    Everything the crawl semantics and plan shape depend on, WITHOUT touching
+    ``spark.master`` / shuffle partitions / driver memory — those belong to
+    the deployment (spark-submit flags on a cluster, :func:`get_spark` for
+    local runs).  The spark-submit entry point (engine/main.py) applies this
+    to a bare builder so a cluster run computes the same timestamps and plans
+    as the tested local engine.
+    """
+    return (
+        builder
         # AQE: runtime shuffle re-planning, skew-join splitting, small-partition
         # coalescing — load-bearing for the single-dominant-host skew case.
         .config("spark.sql.adaptive.enabled", "true")
@@ -44,11 +42,30 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Timestamps in the data model are Beijing time (reference:
-        # core/crawler.py:509-511 uses UTC+8 wall clock).
+        # core/crawler.py:509-511 uses UTC+8 wall clock).  SEMANTIC, not a
+        # tuning knob: publish-time extraction and the X9 year-inference
+        # window are defined in this zone.
         .config("spark.sql.session.timeZone", "Asia/Shanghai")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+
+
+def get_spark(
+    app_name: str = "eastmoneygubacrawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+
+    builder = apply_engine_conf(
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
