@@ -338,16 +338,18 @@ def run_crawl(
         waves += 1
         if horizons is not None:
             pending = FR.prune_beyond_horizon(pending, horizons)
-        batch = FR.politeness_schedule(
+        batch, over_budget = FR.politeness_split(
             pending, cfg.budget_per_host, host_budgets=list_budgets
-        ).transform(_cached)
+        )
+        batch = batch.transform(_cached)
         _mark('schedule')
         n_batch = batch.count()
         if n_batch == 0:
             break
-        pending = pending.join(
-            batch.select("url"), on="url", how="left_anti"
-        ).localCheckpoint(eager=False)
+        # next wave's carry is the rank complement — no anti-join; with an
+        # unbounded budget it is a statically-empty LocalRelation, so the
+        # terminating wave's schedule/count costs nothing
+        pending = over_budget.localCheckpoint(eager=False)
 
         fetched = (
             fetcher.fetch(
@@ -618,12 +620,12 @@ def run_crawl(
         d1_cand = d1_cand.transform(_cached)
 
         text_budget = cfg.text_budget_per_host or cfg.budget_per_host
-        # cache: the schedule feeds the fetch/scan, the pending anti-join,
+        # cache: the schedule feeds the fetch/scan,
         # and (scan_extract mode) the sizing count + distributed blob build
-        scheduled = FR.politeness_schedule(
+        scheduled, unscheduled = FR.politeness_split(
             d1_cand, text_budget, host_budgets=text_budgets
-        ).transform(_cached)
-        unscheduled = d1_cand.join(scheduled.select("url"), "url", "left_anti")
+        )
+        scheduled = scheduled.transform(_cached)
         if text_mode == "scan_extract":
             from .fetch import scan_extract
 
@@ -806,10 +808,10 @@ def run_crawl(
                 d2_cand = SE.filter_unseen(d2_cand, seen_prev)
             d2_cand = d2_cand.transform(_cached)
             text_budget = cfg.text_budget_per_host or cfg.budget_per_host
-            c_sched = FR.politeness_schedule(
+            c_sched, c_unsched = FR.politeness_split(
                 d2_cand, text_budget, host_budgets=text_budgets
-            ).transform(_cached)
-            c_unsched = d2_cand.join(c_sched.select("url"), "url", "left_anti")
+            )
+            c_sched = c_sched.transform(_cached)
 
             from ..functions.extract import parse_reply_page_udf
 

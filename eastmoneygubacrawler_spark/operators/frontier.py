@@ -50,22 +50,47 @@ def politeness_schedule(
     The rank is the priority queue; at 10^10 scale the window shuffles by
     host exactly once and AQE splits any skewed host partition.
     """
+    return politeness_split(pending, budget_per_host, host_col, host_budgets)[0]
+
+
+def politeness_split(
+    pending: DataFrame,
+    budget_per_host: int,
+    host_col: str = "host",
+    host_budgets: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Partition ``pending`` into (scheduled, unscheduled) by politeness rank.
+
+    Same semantics as ``politeness_schedule`` plus its exact complement —
+    the rows over budget that stay pending for the next wave/round.  The
+    engine previously derived the complement as
+    ``pending LEFT ANTI scheduled`` on url: a full-width sort-merge join
+    shuffling BOTH copies of the frontier batch (measured 2-4 s per round on
+    the 1.44M-url scaling corpus) just to re-discover which rows one window
+    already classified.  Complementary filters over the same ranked frame
+    cost one window pass total; with an unbounded budget the complement is
+    ``Filter(false)``, which Catalyst's PruneFilters folds to an empty
+    LocalRelation — statically free.
+    """
     if host_budgets is None and budget_per_host >= 1_000_000_000:
         # unbounded budget ⇒ the rank is a no-op; skip the per-host window —
         # with one dominant host it would funnel every row through one task
-        return pending
+        return pending, pending.filter(F.lit(False))
     w = Window.partitionBy(host_col).orderBy(*order_key_cols(pending))
     ranked = pending.withColumn("_prank", F.row_number().over(w))
     if host_budgets is not None:
         ranked = ranked.join(
             F.broadcast(host_budgets.select(host_col, "budget")), on=host_col, how="left"
         )
-        out = ranked.filter(
-            F.col("_prank") <= F.coalesce(F.col("budget"), F.lit(budget_per_host))
-        ).drop("_prank", "budget")
+        cap = F.coalesce(F.col("budget"), F.lit(budget_per_host))
+        drop = ["_prank", "budget"]
     else:
-        out = ranked.filter(F.col("_prank") <= budget_per_host).drop("_prank")
-    return out
+        cap = F.lit(budget_per_host)
+        drop = ["_prank"]
+    return (
+        ranked.filter(F.col("_prank") <= cap).drop(*drop),
+        ranked.filter(F.col("_prank") > cap).drop(*drop),
+    )
 
 
 def salted_repartition(df: DataFrame, n_partitions: int, n_salts: int) -> DataFrame:

@@ -47,6 +47,14 @@ def apply_engine_conf(builder: "SparkSession.Builder") -> "SparkSession.Builder"
         # window are defined in this zone.
         .config("spark.sql.session.timeZone", "Asia/Shanghai")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet codec: zstd over the snappy default.  Measured on the
+        # posts-shaped delta (1.44M rows, ~1.8KB text col): 40% fewer bytes
+        # (526 vs 881 MB) and a FASTER write wherever the writer is
+        # bandwidth-bound (8 cores: 2.2 vs 3.2 s; at 2 cores it costs ~15%
+        # CPU, 1 s of a 270 s wall).  At the 100TB design point commit
+        # writes go to remote storage, so bytes-on-the-wire dominate and
+        # the smaller codec wins twice (write and every later scan).
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
 
 

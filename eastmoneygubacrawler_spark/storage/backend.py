@@ -202,7 +202,11 @@ class SnapshotStore:
                         flush=True,
                     )
 
-            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            # EGS_COMMIT_WORKERS=1 serializes the writes — diagnostic knob:
+            # per-table walls under concurrency include slot-queueing time,
+            # so attributing commit cost to a table needs a sequential run
+            workers = int(os.environ.get("EGS_COMMIT_WORKERS", len(jobs)) or len(jobs))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(_write, jobs))
 
         manifest = {
