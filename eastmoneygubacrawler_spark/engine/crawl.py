@@ -732,6 +732,17 @@ def run_crawl(
                 F.col("full_text").alias("_new_text"),
                 F.col("full_text_time").alias("_new_time"),
             )
+            # shuffled-hash over sort-merge for LARGE rounds: both sides are
+            # round deltas of the same key set, so the merge gains nothing
+            # from sort order and SMJ would sort the text payload rows on
+            # 70-byte url keys at every commit — measured 7.3 → 6.2 s on the
+            # 1.44M-row bigcorpus posts write (hint lands on the build side;
+            # a LEFT join builds right = the text side, per-partition
+            # footprint bounded by shuffle partitioning).  Small rounds skip
+            # the hint so Catalyst still broadcasts the tiny text side — a
+            # strategy hint would override that choice.
+            if n_text_fetched > 100_000:
+                upd = upd.hint("shuffle_hash")
             posts_out = (
                 posts_out.join(upd, on="url", how="left")
                 .withColumn(
