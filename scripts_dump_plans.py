@@ -122,6 +122,25 @@ def main() -> None:
         explain_str(loaded),
     ))
 
+    # 9. commit text-merge join, large-round shape (engine/crawl.py posts_out):
+    # shuffled-hash — both sides are same-key round deltas, so neither side
+    # is sorted (SMJ would sort the text payload rows on url keys at every
+    # commit); build side = the text update, bounded per shuffle partition
+    meta = pages.select("url", "lang", F.lit(None).cast("string").alias("full_text"))
+    upd = pages.select(
+        "url", F.base64(F.col("html")).alias("_new_text")
+    ).hint("shuffle_hash")
+    merged = (
+        meta.join(upd, on="url", how="left")
+        .withColumn("full_text", F.coalesce(F.col("full_text"), F.col("_new_text")))
+        .drop("_new_text")
+    )
+    sections.append((
+        "Commit text-merge (large rounds, shj_text_merge_threshold exceeded) "
+        "— ShuffledHashJoin, zero Sort operators on the text payload",
+        explain_str(merged),
+    ))
+
     with open("PLANS.md", "w") as f:
         f.write(
             "# PLANS — flagship physical plans (`.explain(\"formatted\")`)\n\n"

@@ -155,6 +155,26 @@ def _corpus_of(c):
     return build_corpus(FixtureConfig())
 
 
+def test_shj_text_merge_identical(spark, crawl_result, tmp_path_factory):
+    """The large-round shuffled-hash text-merge path (normally gated on
+    >100k fetched texts) commits bit-identical posts to the default
+    broadcast/SMJ path — forced on here via shj_text_merge_threshold=0."""
+    import dataclasses
+
+    c = crawl_result
+    store2 = SnapshotStore(str(tmp_path_factory.mktemp("store_shj")))
+    cfg2 = dataclasses.replace(c["cfg"], shj_text_merge_threshold=0)
+    m2 = run_crawl(
+        spark, store2, c["pages"], c["seeds"], c["robots"], c["politeness"], cfg2
+    )
+    assert m2["posts_new"] > 0
+    ref = c["store"].load(spark, "posts")
+    got = store2.load(spark, "posts")
+    cols = ref.columns
+    assert got.columns == cols
+    assert ref.exceptAll(got).isEmpty() and got.exceptAll(ref).isEmpty()
+
+
 def test_metrics_and_lineage(spark, crawl_result):
     m = crawl_result["metrics"]
     assert m["posts_new"] > 500
