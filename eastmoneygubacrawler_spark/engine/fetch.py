@@ -55,9 +55,18 @@ class FixtureFetcher:
         self.pages = p
         self.broadcast_scheduled = broadcast_scheduled
 
-    def fetch(self, scheduled: DataFrame) -> DataFrame:
-        """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed)."""
-        if not self.broadcast_scheduled:
+    def fetch(self, scheduled: DataFrame, broadcast: bool | None = None) -> DataFrame:
+        """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed).
+
+        ``broadcast`` overrides the instance default per call — the engine's
+        ``broadcast_fetch="auto"`` mode passes the batch's KNOWN row count
+        through this knob so politeness-bounded batches broadcast (the pages
+        scan never shuffles its html) while unbounded batches fall back to
+        the shuffle join (a driver-side broadcast build of millions of rows
+        would serialize)."""
+        if broadcast is None:
+            broadcast = self.broadcast_scheduled
+        if not broadcast:
             return scheduled.join(self.pages, on="url", how="left")
         hits = self.pages.join(F.broadcast(scheduled), on="url", how="inner")
         misses = scheduled.join(
