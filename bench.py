@@ -836,6 +836,13 @@ def main_scaling(
         "cores_lo": cores_lo,
         "cores_hi": cores_hi,
         "passes": pass_rows,
+        # matched within-pass ratios alongside the best-per-level composite:
+        # a pass is a lo/hi pair measured close in time, so these control
+        # for slow interference drift that the max-per-level estimator mixes
+        "per_pass_matched_ratio": [
+            round(r["thpt_hi"] / (r["thpt_lo"] * cores_hi / cores_lo), 3)
+            for r in pass_rows
+        ],
         "thpt_lo_urls_per_s": round(lo["throughput_urls_per_s"], 1),
         "thpt_hi_urls_per_s": round(hi["throughput_urls_per_s"], 1),
         "wall_lo_s": round(lo["wall_s"], 2),
