@@ -69,8 +69,18 @@ class FixtureFetcher:
         if not broadcast:
             return scheduled.join(self.pages, on="url", how="left")
         hits = self.pages.join(F.broadcast(scheduled), on="url", how="inner")
+        # miss recovery with ZERO exchanges: the url-only (column-pruned)
+        # pages scan broadcast-semi-joins the batch, yielding the HIT url
+        # set — bounded by the batch, so the anti-join against it
+        # broadcasts too.  Anti-joining scheduled against ALL pages urls
+        # (the previous form) put the corpus-sized side over the broadcast
+        # threshold and forced a sort-merge anti — two exchanges and two
+        # sorts per politeness wave, for a result bounded by the batch.
+        hit_urls = self.pages.select("url").join(
+            F.broadcast(scheduled.select("url")), on="url", how="left_semi"
+        )
         misses = scheduled.join(
-            self.pages.select("url"), on="url", how="left_anti"
+            F.broadcast(hit_urls), on="url", how="left_anti"
         ).withColumn("html", F.lit(None).cast("binary"))
         return hits.unionByName(misses)
 
