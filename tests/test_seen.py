@@ -120,6 +120,13 @@ def test_no_driver_collect_in_operators():
     assert ".count()" not in ua_src and ".head(" not in ua_src, (
         "useragents must stay driver-round-trip-free"
     )
+    # the posts-bloom front-filter must not re-grow a per-wave driver gate
+    # (r5 verdict item 5): suspect resolution is unconditional + AQE
+    # empty-propagation, never a suspects.count() branch on the hot loop
+    crawl_src = (pkg / "engine" / "crawl.py").read_text()
+    assert "suspects.count()" not in crawl_src, (
+        "posts-bloom suspects gate must stay data-side (AQE empty propagation)"
+    )
 
 
 def test_engine_bloom_path_equals_exact_path(spark, tmp_path):
