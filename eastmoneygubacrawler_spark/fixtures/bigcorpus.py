@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .generator import (
     CAIFUHAO_HOST,
+    COMMENT_PAGE_SIZE,
     GUBA_HOST,
     PAGE_SIZE,
     _NICKS,
@@ -31,17 +32,31 @@ from .generator import (
     _sentence,
     caifuhao_expected_text,
     caifuhao_post_html,
+    comment_page_html,
+    comment_url,
     guba_expected_text,
     guba_post_html,
     list_page_html,
     list_url,
+    make_replies,
 )
 
 _BASE_TS = dt.datetime(2026, 2, 28, 23, 0, 0)
 _TCODE = {"news": "1", "report": "2", "notice": "3"}
+_BASE_YEAR = _BASE_TS.year
 
 
-def _item_fields(stock: str, ctype: str, i: int) -> dict:
+def _comment_count(i: int, comment_every: int) -> int:
+    """Deterministic reply count, pure formula (no rng draw, so corpora built
+    with comment_every=0 stay byte-identical to pre-depth-2 builds): every
+    ``comment_every``-th post carries 1..60 replies (≤2 reply pages at
+    30/page), the rest none."""
+    if not comment_every or i % comment_every:
+        return 0
+    return ((i * 7919) % 60) + 1
+
+
+def _item_fields(stock: str, ctype: str, i: int, comment_every: int = 0) -> dict:
     rng = random.Random(f"{stock}|{ctype}|{i}")
     post_id = f"{stock}{_TCODE[ctype]}{i:06d}"
     ts = _BASE_TS - dt.timedelta(minutes=13 * i)
@@ -53,9 +68,10 @@ def _item_fields(stock: str, ctype: str, i: int) -> dict:
         "post_title": _sentence(rng, 3, 8),
         "Art_Url": art_url,
         "post_click_count": rng.randint(0, 99999),
-        # no comment pages are materialized at this scale → keep 0 so a
-        # max_depth=2 crawl doesn't chase nonexistent reply URLs
-        "post_comment_count": 0,
+        # comment pages exist only when comment_every > 0 (depth-2 scaling
+        # studies); default 0 keeps max_depth=1 corpora free of dangling
+        # reply URLs and byte-identical to earlier rounds
+        "post_comment_count": _comment_count(i, comment_every),
         "post_publish_time": ts.strftime("%Y-%m-%d %H:%M:%S"),
         "user_nickname": rng.choice(_NICKS),
     }
@@ -71,7 +87,7 @@ def _canonical(stock: str, item: dict) -> str:
 
 def build_big_corpus(
     spark: SparkSession, n_stocks: int, items_per_type: int, out_dir: str,
-    post_pad_bytes: int = 0,
+    post_pad_bytes: int = 0, comment_every: int = 0,
 ) -> dict:
     """Writes pages.parquet / seeds.parquet / robots.parquet under out_dir.
 
@@ -104,7 +120,8 @@ def build_big_corpus(
                 ["stock_code", "content_type", "page"]
             ):
                 items = [
-                    _item_fields(stock, ctype, int(i)) for i in sorted(grp["i"])
+                    _item_fields(stock, ctype, int(i), comment_every)
+                    for i in sorted(grp["i"])
                 ]
                 html = list_page_html(total_count, items)
                 out.append((list_url(stock, ctype, int(page)), html.encode("utf-8")))
@@ -161,6 +178,51 @@ def build_big_corpus(
 
     cols = ["url", "warc_ts", "html", "text", "lang"]
     pages = list_pages.select(*cols).unionByName(post_pages.select(*cols))
+
+    # ---- depth-2 comment pages (replylist): mapInPandas over commented items
+    # Same distributed shape as the post renderer: metadata fans out, the
+    # replylist JSON payload (generator.py contract, FIXTURES.md §1.4) is
+    # rendered Arrow-batched in executors.  Only every comment_every-th item
+    # carries replies, so the renderer prunes rows cheaply in Python.
+    if comment_every:
+        def _render_comments(batch: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batch:
+                out = []
+                for stock, ctype, i in zip(
+                    pdf["stock_code"], pdf["content_type"], pdf["i"]
+                ):
+                    cc = _comment_count(int(i), comment_every)
+                    if cc <= 0:
+                        continue
+                    post_id = f"{stock}{_TCODE[ctype]}{int(i):06d}"
+                    replies = make_replies(post_id, cc, _BASE_YEAR)
+                    n_cpages = -(-cc // COMMENT_PAGE_SIZE)
+                    for cp in range(1, n_cpages + 1):
+                        chunk = replies[
+                            (cp - 1) * COMMENT_PAGE_SIZE : cp * COMMENT_PAGE_SIZE
+                        ]
+                        payload = [
+                            {k: v for k, v in r.items() if k != "expected_time"}
+                            for r in chunk
+                        ]
+                        out.append(
+                            (
+                                comment_url(stock, post_id, cp),
+                                comment_page_html(cc, payload).encode("utf-8"),
+                            )
+                        )
+                if out:
+                    yield pd.DataFrame(out, columns=["url", "html"])
+
+        comment_pages = (
+            items_meta.repartition(n_parts, "stock_code", "content_type", "i")
+            .mapInPandas(_render_comments, "url string, html binary")
+            .withColumn("warc_ts", F.lit(_BASE_TS))
+            .withColumn("text", F.lit(None).cast("string"))
+            .withColumn("lang", F.lit("zh"))
+        )
+        pages = pages.unionByName(comment_pages.select(*cols))
+
     pages.write.mode("overwrite").parquet(f"{out_dir}/pages.parquet")
 
     seeds = stocks.withColumn("name", F.concat(F.lit("测试股"), F.col("stock_code"))) \
@@ -176,8 +238,15 @@ def build_big_corpus(
     )
     robots.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/robots.parquet")
 
+    expected_comments = 0
+    if comment_every:
+        expected_comments = n_stocks * 3 * sum(
+            _comment_count(i, comment_every) for i in range(items_per_type)
+        )
     return {
         "n_stocks": n_stocks,
         "items_per_type": items_per_type,
         "expected_posts": n_stocks * 3 * items_per_type,
+        "comment_every": comment_every,
+        "expected_comments": expected_comments,
     }
