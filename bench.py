@@ -52,15 +52,32 @@ def run_crawl_bench(spark, n_stocks: int = 10) -> dict:
     return run_crawl(spark, store, pages, seeds, robots, None, cfg)
 
 
-def bench_queries(spark) -> dict[str, float]:
+HEADLINE_REPS = int(os.environ.get("EGS_HEADLINE_REPS", "3"))
+
+
+def bench_queries(spark, spreads: dict | None = None) -> dict[str, float]:
+    """Each headline query runs HEADLINE_REPS times; the recorded number is
+    the MEDIAN and `spreads` gets [min, max] per query.  A single-pass
+    harness cannot distinguish VM neighbor noise from a real regression
+    (round 5's artifact read uniformly ~25% slower than round 4 while the
+    pinned scaling studies showed the engine 21-24% faster) — medians over
+    reps plus the fixed triad probe in main_bench make cross-round reads
+    self-adjudicating (r5 verdict item 2)."""
     import __spark_entry__ as E
 
     timings: dict[str, float] = {}
+    if spreads is None:
+        spreads = {}
 
     def timed(name, fn):
-        t = time.time()
-        fn()
-        timings[name] = round(time.time() - t, 3)
+        runs = []
+        for _ in range(HEADLINE_REPS):
+            t = time.time()
+            fn()
+            runs.append(time.time() - t)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spreads[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     qs = E.queries()
     for name in [
@@ -98,9 +115,12 @@ def bench_queries(spark) -> dict[str, float]:
 
     k_r, w_r = 25, 50
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t = time.time()
-    n_fp = winnow_fingerprints(docs, k_r, w_r).count()
-    timings[f"winnow_real_k{k_r}_w{w_r}"] = round(time.time() - t, 3)
+    fp_counts: list[int] = []
+    timed(
+        f"winnow_real_k{k_r}_w{w_r}",
+        lambda: fp_counts.append(winnow_fingerprints(docs, k_r, w_r).count()),
+    )
+    n_fp = fp_counts[-1]
     n_grams = docs.select(
         F.sum(
             F.greatest(
@@ -121,11 +141,26 @@ def bench_queries(spark) -> dict[str, float]:
             f"expectation {expected_density:.4f}"
         )
 
-    crawl_metrics = {}
-    t = time.time()
-    crawl_metrics = run_crawl_bench(spark)
-    timings["crawl_round"] = round(time.time() - t, 3)
+    # crawl round: same median-of-reps treatment; throughput is the median
+    # run's figure so walls and URLs/s describe the same pass
+    crawl_runs: list[tuple[float, dict]] = []
+    for _ in range(HEADLINE_REPS):
+        t = time.time()
+        m = run_crawl_bench(spark)
+        crawl_runs.append((time.time() - t, m))
+    crawl_runs.sort(key=lambda r: r[0])
+    wall, crawl_metrics = crawl_runs[len(crawl_runs) // 2]
+    timings["crawl_round"] = round(wall, 3)
+    spreads["crawl_round"] = [
+        round(crawl_runs[0][0], 3), round(crawl_runs[-1][0], 3)
+    ]
     timings["crawl_urls_per_s"] = round(crawl_metrics["throughput_urls_per_s"], 1)
+    spreads["crawl_urls_per_s"] = sorted(
+        [
+            round(crawl_runs[0][1]["throughput_urls_per_s"], 1),
+            round(crawl_runs[-1][1]["throughput_urls_per_s"], 1),
+        ]
+    )
     timings["crawl_urls_fetched"] = crawl_metrics["urls_fetched"]
     return timings
 
@@ -221,13 +256,83 @@ def clustered_ann_gate(spark) -> dict[str, float]:
     return out
 
 
+def _ref_triad_gbps(reps: int = 3) -> float:
+    """Fixed 4-core STREAM-triad probe run in the same session as the
+    headline queries: a box-speed constant that lets a cross-round reader
+    normalize away VM placement/neighbor noise (r5 verdict item 2).  The
+    engine never touches it; it only anchors the artifact."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "membw_probe.py")
+    spec = importlib.util.spec_from_file_location("egs_membw_probe", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return round(max(mod.measure(4) for _ in range(reps)), 1)
+
+
+_NON_TIME_KEYS = ("_recall", "_density", "urls_per_s", "urls_fetched")
+
+
+def _vs_prev_verdict(timings: dict, ref_gbps: float) -> dict | None:
+    """Compare this run's query medians against the latest BENCH_r*.json.
+    If both artifacts carry the triad probe, ratios are normalized by the
+    box-speed ratio first; the verdict string states which basis was used."""
+    import glob
+    import math
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return None
+    prev_path = prior[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    prev = prev.get("parsed", prev)  # driver artifacts wrap the bench line
+    if prev.get("sf") != _sf_label(SF_DIR):
+        return None  # different scale factor → ratios meaningless
+    prev_q = prev.get("queries", {})
+    ratios = {}
+    for k, v in timings.items():
+        if any(s in k for s in _NON_TIME_KEYS):
+            continue
+        pv = prev_q.get(k)
+        if isinstance(pv, (int, float)) and pv > 0 and v > 0:
+            ratios[k] = round(v / pv, 3)
+    if not ratios:
+        return None
+    geomean = math.exp(sum(math.log(r) for r in ratios.values()) / len(ratios))
+    prev_gbps = prev.get("ref_triad_gbps")
+    basis = "raw"
+    adj = geomean
+    if isinstance(prev_gbps, (int, float)) and prev_gbps > 0 and ref_gbps > 0:
+        # slower box → times inflate ~ prev_gbps/ref_gbps; divide it out
+        adj = geomean / (prev_gbps / ref_gbps)
+        basis = "triad-normalized"
+    verdict = (
+        "improved" if adj < 0.95 else "flat" if adj <= 1.10 else "regressed"
+    )
+    return {
+        "prev_file": os.path.basename(prev_path),
+        "geomean_ratio": round(geomean, 3),
+        "geomean_ratio_adjusted": round(adj, 3),
+        "basis": basis,
+        "verdict": verdict,
+        "per_query": ratios,
+    }
+
+
 def main_bench() -> None:
     from eastmoneygubacrawler_spark.session import get_spark
 
     spark = get_spark("egs-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    spreads: dict = {}
     t0 = time.time()
-    timings = bench_queries(spark)
+    timings = bench_queries(spark, spreads)
     total = round(time.time() - t0, 3)
     # the recall gate re-executes the three ANN queries; keep it OUT of the
     # timed window so `value` stays comparable across rounds (recalls are
@@ -236,18 +341,30 @@ def main_bench() -> None:
 
     timings.update(ann_recall_gate(spark, E.queries()))
     timings.update(clustered_ann_gate(spark))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_label(SF_DIR),
-            }
-        )
-    )
     spark.stop()
+    ref_gbps = _ref_triad_gbps()
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(
+            sum(
+                v for k, v in timings.items()
+                if k in spreads and not any(s in k for s in _NON_TIME_KEYS)
+            ),
+            3,
+        ),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "reps": HEADLINE_REPS,
+        "value_is": "sum of per-query medians over reps (wall incl. all "
+                    f"reps: {total}s)",
+        "spread": spreads,
+        "ref_triad_gbps": ref_gbps,
+    }
+    vs = _vs_prev_verdict(timings, ref_gbps)
+    if vs is not None:
+        out["vs_prev"] = vs
+    print(json.dumps(out))
 
 
 def scaling_worker(cores: int, corpus_dir: str) -> None:
@@ -293,8 +410,12 @@ def scaling_worker(cores: int, corpus_dir: str) -> None:
     seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
     robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
     tempfile.tempdir = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # depth-2 mode (r5 verdict item 3): crawl list → posts → reply pages so
+    # the X9 window, reply dedup, and the comments commit are measured at
+    # scaling-corpus size, not just at fixture scale
+    depth = 2 if os.environ.get("EGS_SCALE_DEPTH2", "0") == "1" else 1
     cfg = CrawlConfig(
-        n_shards=64, fetch_partitions=cores * 2, use_bloom=False, max_depth=1,
+        n_shards=64, fetch_partitions=cores * 2, use_bloom=False, max_depth=depth,
         broadcast_fetch=os.environ.get("EGS_FETCH_BROADCAST", "0") == "1",
         text_fetch_mode=os.environ.get("EGS_TEXT_FETCH", "join"),
     )
@@ -317,10 +438,13 @@ def scaling_worker(cores: int, corpus_dir: str) -> None:
     spark.stop()
 
 
-def _ensure_bigcorpus(n_stocks: int, items_per_type: int, pad: int = 0) -> str:
+def _ensure_bigcorpus(n_stocks: int, items_per_type: int, pad: int = 0,
+                      comment_every: int = 0) -> str:
     """Build (or reuse) the distributed big fixture corpus on tmpfs."""
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    suffix = f"_{pad}" if pad else ""
+    suffix = (f"_{pad}" if pad else "") + (
+        f"_c{comment_every}" if comment_every else ""
+    )
     corpus_dir = f"{shm}/egs_bigcorpus_{n_stocks}_{items_per_type}{suffix}"
     if not os.path.exists(f"{corpus_dir}/pages.parquet/_SUCCESS"):
         from eastmoneygubacrawler_spark.fixtures.bigcorpus import build_big_corpus
@@ -330,7 +454,7 @@ def _ensure_bigcorpus(n_stocks: int, items_per_type: int, pad: int = 0) -> str:
                           shuffle_partitions=CPUS)
         spark.sparkContext.setLogLevel("ERROR")
         info = build_big_corpus(spark, n_stocks, items_per_type, corpus_dir,
-                                post_pad_bytes=pad)
+                                post_pad_bytes=pad, comment_every=comment_every)
         print(json.dumps({"corpus": info}), file=sys.stderr)
         spark.stop()
     return corpus_dir
@@ -342,6 +466,26 @@ def _tree_bytes(root: str, rel: str) -> int:
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(p) for f in fs
     )
+
+
+def _flat_ratio_keys(prefix: str, vals: list) -> dict:
+    """Steady-state flatness ratios for multiround artifacts.  Round 0 runs
+    against an empty store (no prior-state semi-joins, no MoR patches, cold
+    code paths) and is structurally faster, so a last/first-from-r0 ratio
+    over-reads as a leak; the PRIMARY `<prefix>_flat_ratio` is therefore the
+    from-r1 steady-state ratio (r5 verdict item 7), with the r0-inclusive
+    number kept as a secondary diagnostic."""
+    vals = [v for v in vals if v]
+    return {
+        f"{prefix}_flat_ratio": (
+            round(max(vals[2:]) / vals[1], 3) if len(vals) > 2
+            else round(max(vals[1:]) / vals[0], 3) if len(vals) > 1
+            else None
+        ),
+        f"{prefix}_flat_ratio_incl_r0": (
+            round(max(vals[1:]) / vals[0], 3) if len(vals) > 1 else None
+        ),
+    }
 
 
 def _round_row(m: dict) -> dict:
@@ -426,15 +570,10 @@ def main_multiround(
         out["growing"] = {
             "rounds": grow_rounds,
             "recrawl": recrawl,
-            # per-round cost while the store grows 5x: max over later rounds
-            # relative to round 0 (≈1 = flat; >>1 = an O(corpus) leak)
-            "growing_wall_flat_ratio": (
-                round(max(walls[1:]) / walls[0], 3) if len(walls) > 1 else None
-            ),
-            "growing_commit_flat_ratio": (
-                round(max(commits[1:]) / commits[0], 3)
-                if len(commits) > 1 else None
-            ),
+            # per-round cost while the store grows 5x (≈1 = flat;
+            # >>1 = an O(corpus) leak); primary = from-r1 steady state
+            **_flat_ratio_keys("growing_wall", walls),
+            **_flat_ratio_keys("growing_commit", commits),
             "recrawl_fetch_fraction": round(
                 recrawl["urls_fetched"] / first_crawl_urls, 4
             ),
@@ -483,13 +622,8 @@ def main_multiround(
         out["cuckoo_growing"] = {
             "rounds": ck_rounds,
             "recrawl": recrawl,
-            "growing_wall_flat_ratio": (
-                round(max(walls[1:]) / walls[0], 3) if len(walls) > 1 else None
-            ),
-            "growing_commit_flat_ratio": (
-                round(max(commits[1:]) / commits[0], 3)
-                if len(commits) > 1 else None
-            ),
+            **_flat_ratio_keys("growing_wall", walls),
+            **_flat_ratio_keys("growing_commit", commits),
         }
         shutil.rmtree(store_dir, ignore_errors=True)
 
@@ -644,6 +778,71 @@ def main_multiround(
         }
         shutil.rmtree(store_dir, ignore_errors=True)
 
+    # --- phase G: one purge at SCALING-corpus size (r5 verdict item 4) -------
+    # Phase E proves purge-cycle endurance at ~500k urls / 2% slices; this
+    # phase proves O(purge-delta) holds two orders up: ~10% of the 1.44M-post
+    # scaling store purged in one shot (in-place cuckoo flavor), then the
+    # refetch round.  Asserted, not just recorded: zero false negatives over
+    # the survivors, no data files rewritten, delete bytes O(purged urls).
+    if "g" in phases:
+        from eastmoneygubacrawler_spark.engine import purge_urls
+        from eastmoneygubacrawler_spark.operators.cuckoo import cuckoo_maybe_seen
+
+        corpus_dir = _ensure_bigcorpus(240, 2000)
+        pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+        seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+        robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+        store_dir = tempfile.mkdtemp(prefix="egs_mr_scpurge_", dir=shm)
+        store = SnapshotStore(store_dir, auto_compact_after=100_000_000)
+        cfg = CrawlConfig(n_shards=64, fetch_partitions=CPUS, use_bloom=True,
+                          seen_filter="cuckoo", max_depth=1)
+        m0 = run_crawl(spark, store, pages, seeds, robots, None, cfg)
+        man = store.manifest()
+        posts_paths_before = list(man["tables"]["posts"]["paths"])
+        seen_tbl = store.load(spark, "seen")
+        purge_list = seen_tbl.filter(
+            F.pmod(F.xxhash64(F.col("url"), F.lit(23)), F.lit(100)) < 10
+        ).select("url").localCheckpoint(eager=True)
+        n_purge = purge_list.count()
+        t = time.time()
+        pm = purge_urls(spark, store, purge_list)
+        purge_wall = round(time.time() - t, 3)
+        man = store.manifest()
+        delete_bytes = sum(
+            _tree_bytes(store.root, p)
+            for ent in man["tables"].values()
+            for p in ent.get("deletes", {}).get("paths", ())
+        )
+        fn = cuckoo_maybe_seen(
+            store.load(spark, "seen"), store.load(spark, "seen_cuckoo"),
+            cfg.n_shards,
+        ).filter("NOT maybe_seen").count()
+        rm = run_crawl(spark, store, pages, seeds, robots, None, cfg)
+        row = {
+            "store_urls_before": m0["urls_fetched"],
+            "urls_purged": pm["urls_purged"],
+            "purge_wall_s": purge_wall,
+            "cuckoo_kept_fresh": pm["cuckoo_kept_fresh"],
+            "false_negatives_after_purge": fn,
+            "delete_file_bytes": delete_bytes,
+            "delete_bytes_per_url": round(delete_bytes / max(n_purge, 1), 1),
+            "posts_data_files_rewritten": (
+                list(man["tables"]["posts"]["paths"]) != posts_paths_before
+            ),
+            "refetch_wall_s": rm["wall_s"],
+            "refetch_urls_fetched": rm["urls_fetched"],
+            "refetch_posts_new": rm["posts_new"],
+        }
+        print(json.dumps(row))
+        assert row["false_negatives_after_purge"] == 0, row
+        assert row["cuckoo_kept_fresh"], row
+        assert not row["posts_data_files_rewritten"], row
+        # equality deletes store the url string + container overhead; an
+        # O(store) leak would blow this bound by orders of magnitude
+        assert row["delete_bytes_per_url"] < 200, row
+        out["purge_at_scale"] = row
+        shutil.rmtree(store_dir, ignore_errors=True)
+
     # --- phase B: depth-2 comments + cross-round MoR text fills --------------
     if "b" in phases:
         from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
@@ -730,22 +929,13 @@ def main_multiround(
         commits = [r["commit_s"] for r in cg_rounds]
         out["comments_growing"] = {
             "rounds": cg_rounds,
-            "comment_wall_flat_ratio": (
-                round(max(cwalls[1:]) / cwalls[0], 3) if len(cwalls) > 1 else None
-            ),
-            # the X9 window union executes lazily inside the commit, so the
-            # commit wall is where an O(comment-corpus) leak would show
-            "commit_flat_ratio": (
-                round(max(commits[1:]) / commits[0], 3)
-                if len(commits) > 1 else None
-            ),
             # round 0 has no prior comments table at all (no semi-join, no
             # MoR) — the like-for-like flatness baseline is round 1, the
-            # first round that carries stored comment state
-            "commit_flat_ratio_from_r1": (
-                round(max(commits[2:]) / commits[1], 3)
-                if len(commits) > 2 else None
-            ),
+            # first round that carries stored comment state; the X9 window
+            # union executes lazily inside the commit, so the commit wall
+            # is where an O(comment-corpus) leak would show
+            **_flat_ratio_keys("comment_wall", cwalls),
+            **_flat_ratio_keys("commit", commits),
             "comments_rows_final": cg_rounds[-1]["comments_rows"],
         }
         shutil.rmtree(store_f.root, ignore_errors=True)
@@ -767,7 +957,7 @@ def main_multiround(
 def main_scaling(
     cores_lo: int = 4, cores_hi: int = 16,
     n_stocks: int = 240, items_per_type: int = 2000,
-    passes: int = 1,
+    passes: int = 1, depth2: bool = False, corpus_scale: int = 1,
 ) -> None:
     """North-rule scaling evidence: the SAME crawl job over the SAME parquet
     corpus at N and 4N cores (sandbox proxy for N and 4N executors), each in
@@ -783,7 +973,17 @@ def main_scaling(
     level, so max-over-passes estimates the achievable ratio."""
     import subprocess
 
-    corpus_dir = _ensure_bigcorpus(n_stocks, items_per_type)
+    # corpus_scale multiplies the stock count: the 2x/4x runs measure whether
+    # the per-round fixed share (driver/AQE/stage-boundary latency, ~24 s at
+    # 1x) amortizes with batch size as BASELINE.md argues (r5 verdict item 1).
+    # depth2 adds reply pages so the comment pipeline (X9 window, reply
+    # dedup, comments commit) is measured at this scale too (item 3).
+    n_stocks = n_stocks * corpus_scale
+    corpus_dir = _ensure_bigcorpus(
+        n_stocks, items_per_type, comment_every=8 if depth2 else 0
+    )
+    if depth2:
+        os.environ["EGS_SCALE_DEPTH2"] = "1"
     import shutil as _sh
 
     def _measure(cores: int) -> dict:
@@ -828,13 +1028,18 @@ def main_scaling(
         (cores_hi / cores_lo) * lo["throughput_urls_per_s"]
     )
     phase_eff = {}
-    for ph in ("text_fetch_extract", "list_fetch_parse", "posts_project", "commit"):
+    for ph in ("text_fetch_extract", "list_fetch_parse", "posts_project",
+               "commit", "comment_fetch"):
         a, b = lo["phases"].get(ph), hi["phases"].get(ph)
         if a and b:
             phase_eff[ph] = round(a / b / (cores_hi / cores_lo), 3)
     out = {
         "cores_lo": cores_lo,
         "cores_hi": cores_hi,
+        "n_stocks": n_stocks,
+        "items_per_type": items_per_type,
+        "corpus_scale": corpus_scale,
+        "depth2": depth2,
         "passes": pass_rows,
         # matched within-pass ratios alongside the best-per-level composite:
         # a pass is a lo/hi pair measured close in time, so these control
@@ -1181,6 +1386,107 @@ def main_lsh_scale() -> None:
     spark.stop()
 
 
+def main_ann_curve() -> None:
+    """Recall-vs-cost frontier for the approximate ANN paths at $SF_DIR
+    (r5 verdict item 6): sweep LSH (n_planes, probes, n_tables) and IVF
+    (n_clusters, n_probe) against the exact brute-force top-k on the SAME
+    corpus/queries as the entry queries, recording recall + median wall per
+    config.  Writes BENCH/ann_curve.json.
+
+    The sf embeddings are near-uniform (max pairwise cosine ≈ 0.5): there
+    are no true clusters, so recall is bounded by the probed fraction of
+    the corpus — this artifact documents that frontier quantitatively and
+    anchors the chosen defaults.  The clustered_ann_gate (Gaussian corpus,
+    recall 1.0 @ floor 0.9) covers the real-embedding regime."""
+    from pyspark.sql import functions as F
+
+    from eastmoneygubacrawler_spark.operators.ivf import topk_ivf
+    from eastmoneygubacrawler_spark.operators.similarity import topk_brute, topk_lsh
+    from eastmoneygubacrawler_spark.session import get_spark
+
+    spark = get_spark("egs-ann-curve", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").localCheckpoint(
+        eager=True
+    )
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    k = 5
+
+    def run(label, fn):
+        walls, pairs = [], None
+        for _ in range(3):
+            t = time.time()
+            rows = fn().collect()
+            walls.append(round(time.time() - t, 3))
+            pairs = {(r.query_id, r.vec_id) for r in rows}
+        walls.sort()
+        return {
+            "config": label,
+            "wall_s": walls[1],
+            "wall_spread": [walls[0], walls[-1]],
+            "_pairs": pairs,
+        }
+
+    brute = run("brute", lambda: topk_brute(emb, queries, k=k, dim=64))
+    truth = brute.pop("_pairs")
+    brute["recall"] = 1.0
+    rows = [brute]
+
+    lsh_grid = [
+        (6, 6, 4),    # entry default
+        (6, 6, 8),
+        (6, 6, 16),
+        (5, 5, 8),
+        (4, 4, 8),    # fewer planes → fatter buckets → higher probed fraction
+        (4, 4, 16),
+    ]
+    for n_planes, probes, n_tables in lsh_grid:
+        r = run(
+            f"lsh p{n_planes} pr{probes} t{n_tables}",
+            lambda a=n_planes, b=probes, c=n_tables: topk_lsh(
+                emb, queries, k=k, n_planes=a, probes=b, n_tables=c, dim=64
+            ),
+        )
+        got = r.pop("_pairs")
+        r["recall"] = round(len(got & truth) / max(len(truth), 1), 3)
+        rows.append(r)
+        print(json.dumps(r))
+
+    ivf_grid = [(8, 1), (8, 2), (8, 3), (8, 4), (8, 6), (16, 4), (16, 8)]
+    for n_clusters, n_probe in ivf_grid:
+        r = run(
+            f"ivf k{n_clusters} np{n_probe}",
+            lambda a=n_clusters, b=n_probe: topk_ivf(
+                emb, queries, k=k, n_clusters=a, n_probe=b, dim=64
+            ),
+        )
+        got = r.pop("_pairs")
+        r["recall"] = round(len(got & truth) / max(len(truth), 1), 3)
+        r["probed_fraction"] = round(n_probe / n_clusters, 3)
+        rows.append(r)
+        print(json.dumps(r))
+
+    out = {
+        "sf": _sf_label(SF_DIR),
+        "n_corpus": n_corpus,
+        "n_queries": 3,
+        "k": k,
+        "rows": rows,
+        "note": "uniform synthetic embeddings: recall tracks probed "
+                "fraction; clustered corpora (clustered_ann_gate) reach "
+                "1.0 at the entry defaults",
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/ann_curve.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--phase-scaling-worker" in sys.argv:
         i = sys.argv.index("--phase-scaling-worker")
@@ -1194,8 +1500,12 @@ if __name__ == "__main__":
         lo, hi = 4, 16
         if "--cores" in sys.argv:  # e.g. --cores 2,8
             lo, hi = map(int, sys.argv[sys.argv.index("--cores") + 1].split(","))
+        cscale = 1
+        if "--corpus-scale" in sys.argv:  # 2x/4x corpus for amortization runs
+            cscale = int(sys.argv[sys.argv.index("--corpus-scale") + 1])
         main_scaling(
-            lo, hi, passes=int(os.environ.get("EGS_SCALE_PASSES", "1"))
+            lo, hi, passes=int(os.environ.get("EGS_SCALE_PASSES", "1")),
+            depth2="--depth2" in sys.argv, corpus_scale=cscale,
         )
     elif "--multiround" in sys.argv:
         ph = "ab"
