@@ -994,7 +994,11 @@ def main_scaling(
         cmd = [sys.executable, __file__, "--scaling-worker", str(cores), corpus_dir]
         if _sh.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        # 2x/4x-corpus runs at the low core count legitimately exceed 30 min
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True,
+            timeout=int(os.environ.get("EGS_SCALE_TIMEOUT", "1800")),
+        )
         line = next(
             (ln for ln in proc.stdout.splitlines() if ln.startswith("SCALING_RESULT ")),
             None,
@@ -1386,6 +1390,82 @@ def main_lsh_scale() -> None:
     spark.stop()
 
 
+def main_politeness_hosts() -> None:
+    """Politeness-split cost vs host diversity (r5 verdict item 8): the SAME
+    row count split at budget=100 while distinct hosts go 1 → 10^4 with a
+    Zipf-shaped distribution.  Writes BENCH/politeness_hosts.json.
+
+    What to expect at scale: the split is one window pass shuffling by
+    host; with 10^4 hosts the sort parallelizes across partitions, with ONE
+    host every row funnels through a single task — the known degenerate
+    case the engine's P8 salting + unbounded-budget fast path exist for.
+    The artifact records both so the cost model is explicit."""
+    from pyspark.sql import functions as F
+
+    from eastmoneygubacrawler_spark.operators.frontier import politeness_split
+    from eastmoneygubacrawler_spark.session import get_spark
+
+    spark = get_spark("egs-politeness-hosts", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_rows = 2_000_000
+    rows = []
+    for n_hosts in (1, 100, 10_000):
+        u = F.pmod(F.xxhash64(F.col("id")), F.lit(100_000)) / 100_000.0
+        pending = (
+            spark.range(n_rows)
+            .withColumn(
+                "host",
+                F.concat(
+                    F.lit("h"),
+                    F.floor(F.pow(F.lit(float(n_hosts)), u)).cast("string"),
+                ),
+            )
+            .withColumn("url", F.concat(F.col("host"), F.lit("/u"), F.col("id")))
+            .withColumn("host_rank", F.lit(0))
+            .withColumn("page", (F.col("id") % 97).cast("int"))
+            .withColumn("item_seq", F.col("id").cast("int"))
+            .drop("id")
+            .localCheckpoint(eager=True)
+        )
+        actual_hosts = pending.select("host").distinct().count()
+        walls, n_sched = [], 0
+        for _ in range(3):
+            t = time.time()
+            sched, over = politeness_split(pending, 100)
+            n_sched = sched.count()
+            n_over = over.count()
+            walls.append(round(time.time() - t, 3))
+        walls.sort()
+        assert n_sched + n_over == n_rows
+        row = {
+            "n_hosts": n_hosts,
+            "actual_distinct_hosts": actual_hosts,
+            "n_rows": n_rows,
+            "budget": 100,
+            "scheduled": n_sched,
+            "wall_s": walls[1],
+            "wall_spread": [walls[0], walls[-1]],
+        }
+        rows.append(row)
+        print(json.dumps(row))
+        pending.unpersist()
+    multi = [r for r in rows if r["n_hosts"] > 1]
+    out = {
+        "rows": rows,
+        # flatness over the multi-host regime (1-host is the documented
+        # single-task degenerate case, reported but not in the ratio)
+        "multi_host_flat_ratio": round(
+            max(r["wall_s"] for r in multi) / min(r["wall_s"] for r in multi), 3
+        ),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/politeness_hosts.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main_ann_curve() -> None:
     """Recall-vs-cost frontier for the approximate ANN paths at $SF_DIR
     (r5 verdict item 6): sweep LSH (n_planes, probes, n_tables) and IVF
@@ -1519,5 +1599,9 @@ if __name__ == "__main__":
         main_fat_html(only=only)
     elif "--lsh-scale" in sys.argv:
         main_lsh_scale()
+    elif "--ann-curve" in sys.argv:
+        main_ann_curve()
+    elif "--politeness-hosts" in sys.argv:
+        main_politeness_hosts()
     else:
         main_bench()

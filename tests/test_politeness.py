@@ -1,0 +1,88 @@
+"""Politeness under host diversity (r5 verdict item 8).
+
+The fixture and scaling corpora are single-host-dominant by design (P8
+salting is the star there); these tests pin the per-host budget semantics
+when the frontier spans MANY hosts with a Zipf-shaped URL distribution —
+the Common-Crawl regime the north rule targets.  The matching cost study
+(`python bench.py --politeness-hosts`) measures that the one-window-pass
+split stays flat as hosts go 1 → 10^4 at constant row count.
+"""
+
+from pyspark.sql import functions as F
+
+from eastmoneygubacrawler_spark.operators.frontier import politeness_split
+
+
+def _zipf_frontier(spark, n_rows: int, n_hosts: int):
+    """Deterministic Zipf-ish frontier: host = floor(H^u) for u uniform in
+    [0,1) → log-uniform host ids, so host 1 dominates like a real crawl
+    frontier while the tail spans all ids."""
+    u = (F.pmod(F.xxhash64(F.col("id")), F.lit(10_000)) / 10_000.0)
+    return (
+        spark.range(n_rows)
+        .withColumn(
+            "host",
+            F.concat(
+                F.lit("h"),
+                F.floor(F.pow(F.lit(float(n_hosts)), u)).cast("string"),
+            ),
+        )
+        .withColumn("url", F.concat(F.col("host"), F.lit("/u"), F.col("id")))
+        .withColumn("host_rank", F.lit(0))
+        .withColumn("page", (F.col("id") % 97).cast("int"))
+        .withColumn("item_seq", F.col("id").cast("int"))
+        .drop("id")
+    )
+
+
+def test_budget_exact_partition_many_hosts(spark):
+    pending = _zipf_frontier(spark, 50_000, 10_000).localCheckpoint(eager=True)
+    budget = 3
+    sched, over = politeness_split(pending, budget)
+
+    per_host = {r.host: r.n for r in pending.groupBy("host").count()
+                .withColumnRenamed("count", "n").collect()}
+    sched_per_host = {r.host: r.n for r in sched.groupBy("host").count()
+                      .withColumnRenamed("count", "n").collect()}
+    # budget enforced exactly for every host, dominant or tail
+    for h, n in per_host.items():
+        assert sched_per_host.get(h, 0) == min(n, budget), h
+    # the split is an exact partition of pending
+    assert sched.count() + over.count() == pending.count()
+    assert sched.join(over, on="url", how="inner").count() == 0
+    both = sched.unionByName(over)
+    assert both.exceptAll(pending).count() == 0
+    assert pending.exceptAll(both).count() == 0
+
+
+def test_budget_scheduled_rows_are_canonical_prefix(spark):
+    """The scheduled rows must be the FIRST ``budget`` rows per host in
+    canonical (host_rank, type_rank, page, item_seq) order — the priority
+    queue semantics, not an arbitrary per-host sample."""
+    pending = _zipf_frontier(spark, 20_000, 100).localCheckpoint(eager=True)
+    budget = 5
+    sched, _ = politeness_split(pending, budget)
+    got = {}
+    for r in sched.collect():
+        got.setdefault(r.host, []).append((r.page, r.item_seq))
+    exp = {}
+    for r in pending.collect():
+        exp.setdefault(r.host, []).append((r.page, r.item_seq))
+    for h, rows in exp.items():
+        assert sorted(got[h]) == sorted(rows)[: min(budget, len(rows))], h
+
+
+def test_host_budget_overrides_with_many_hosts(spark):
+    pending = _zipf_frontier(spark, 20_000, 1_000).localCheckpoint(eager=True)
+    overrides = spark.createDataFrame(
+        [("h1", 10), ("h2", 0), ("h7", 1)], ["host", "budget"]
+    )
+    sched, over = politeness_split(pending, 2, host_budgets=overrides)
+    per_host = {r.host: r.n for r in pending.groupBy("host").count()
+                .withColumnRenamed("count", "n").collect()}
+    sched_per_host = {r.host: r.n for r in sched.groupBy("host").count()
+                      .withColumnRenamed("count", "n").collect()}
+    caps = {"h1": 10, "h2": 0, "h7": 1}
+    for h, n in per_host.items():
+        assert sched_per_host.get(h, 0) == min(n, caps.get(h, 2)), h
+    assert sched.count() + over.count() == pending.count()
