@@ -1429,34 +1429,46 @@ def main_politeness_hosts() -> None:
             .localCheckpoint(eager=True)
         )
         actual_hosts = pending.select("host").distinct().count()
-        walls, n_sched = [], 0
-        for _ in range(3):
-            t = time.time()
-            sched, over = politeness_split(pending, 100)
-            n_sched = sched.count()
-            n_over = over.count()
-            walls.append(round(time.time() - t, 3))
-        walls.sort()
-        assert n_sched + n_over == n_rows
         row = {
             "n_hosts": n_hosts,
             "actual_distinct_hosts": actual_hosts,
             "n_rows": n_rows,
             "budget": 100,
-            "scheduled": n_sched,
-            "wall_s": walls[1],
-            "wall_spread": [walls[0], walls[-1]],
         }
+        # plain one-window path vs the salted two-phase rank (engine default
+        # on the once-per-round text/comment budgets): the salted path is
+        # the single-dominant-host fix, the plain path wins on fixed cost
+        # when hosts are many — both measured so the crossover is explicit
+        for label, salts in (("plain", 0), ("salted", 16)):
+            walls, n_sched = [], 0
+            for _ in range(3):
+                t = time.time()
+                sched, over = politeness_split(pending, 100, n_salts=salts)
+                n_sched = sched.count()
+                n_over = over.count()
+                walls.append(round(time.time() - t, 3))
+            walls.sort()
+            assert n_sched + n_over == n_rows
+            row[f"wall_{label}_s"] = walls[1]
+            row[f"wall_{label}_spread"] = [walls[0], walls[-1]]
+            row["scheduled"] = n_sched
         rows.append(row)
         print(json.dumps(row))
         pending.unpersist()
     multi = [r for r in rows if r["n_hosts"] > 1]
+    one = next(r for r in rows if r["n_hosts"] == 1)
     out = {
         "rows": rows,
-        # flatness over the multi-host regime (1-host is the documented
-        # single-task degenerate case, reported but not in the ratio)
-        "multi_host_flat_ratio": round(
-            max(r["wall_s"] for r in multi) / min(r["wall_s"] for r in multi), 3
+        # flatness over the multi-host regime (plain path, the engine's
+        # per-wave choice) and the salted path's fix factor on the
+        # single-dominant-host degenerate case (the engine's once-per-round
+        # text/comment-budget choice)
+        "multi_host_flat_ratio_plain": round(
+            max(r["wall_plain_s"] for r in multi)
+            / min(r["wall_plain_s"] for r in multi), 3
+        ),
+        "single_host_salted_speedup": round(
+            one["wall_plain_s"] / one["wall_salted_s"], 3
         ),
     }
     os.makedirs("BENCH", exist_ok=True)

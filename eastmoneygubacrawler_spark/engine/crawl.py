@@ -629,8 +629,11 @@ def run_crawl(
         text_budget = cfg.text_budget_per_host or cfg.budget_per_host
         # cache: the schedule feeds the fetch/scan,
         # and (scan_extract mode) the sizing count + distributed blob build
+        # salted two-phase rank: the depth-1 frontier is the whole round's
+        # post list, ~all on one host — the plain window would single-task it
         scheduled, unscheduled = FR.politeness_split(
-            d1_cand, text_budget, host_budgets=text_budgets
+            d1_cand, text_budget, host_budgets=text_budgets,
+            n_salts=cfg.n_salts,
         )
         scheduled = scheduled.transform(_cached)
         if text_mode == "scan_extract":
@@ -827,7 +830,8 @@ def run_crawl(
             d2_cand = d2_cand.transform(_cached)
             text_budget = cfg.text_budget_per_host or cfg.budget_per_host
             c_sched, c_unsched = FR.politeness_split(
-                d2_cand, text_budget, host_budgets=text_budgets
+                d2_cand, text_budget, host_budgets=text_budgets,
+                n_salts=cfg.n_salts,
             )
             c_sched = c_sched.transform(_cached)
 

@@ -58,6 +58,7 @@ def politeness_split(
     budget_per_host: int,
     host_col: str = "host",
     host_budgets: DataFrame | None = None,
+    n_salts: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """Partition ``pending`` into (scheduled, unscheduled) by politeness rank.
 
@@ -71,22 +72,54 @@ def politeness_split(
     cost one window pass total; with an unbounded budget the complement is
     ``Filter(false)``, which Catalyst's PruneFilters folds to an empty
     LocalRelation — statically free.
+
+    ``n_salts`` > 1 enables the SALTED TWO-PHASE rank for single-host-skewed
+    frontiers (the eastmoney regime: one host owns ~all rows, so the plain
+    per-host window funnels the whole frontier through one task — measured
+    3-6x slower than the many-host case at 1M rows).  Phase 1 ranks within
+    (host, salt) — parallel sorts of n/S-row chunks — and keeps each salt's
+    local top-cap: any row in a host's global top-cap has < cap predecessors
+    globally, hence < cap within its own salt, so the prune is lossless
+    (standard distributed top-k).  Phase 2 re-ranks only the <= S*cap
+    survivors per host.  Costs one extra (tiny) exchange; callers enable it
+    on the once-per-round text/comment budgets where frontiers are large,
+    not on the small per-wave list batches where fixed stage latency would
+    dominate.  A url tiebreaker makes both phases deterministic when the
+    caller's order key has duplicates (the engine's key is unique).
     """
     if host_budgets is None and budget_per_host >= 1_000_000_000:
         # unbounded budget ⇒ the rank is a no-op; skip the per-host window —
         # with one dominant host it would funnel every row through one task
         return pending, pending.filter(F.lit(False))
-    w = Window.partitionBy(host_col).orderBy(*order_key_cols(pending))
-    ranked = pending.withColumn("_prank", F.row_number().over(w))
+    keys = order_key_cols(pending)
     if host_budgets is not None:
-        ranked = ranked.join(
-            F.broadcast(host_budgets.select(host_col, "budget")), on=host_col, how="left"
+        pending = pending.join(
+            F.broadcast(host_budgets.select(host_col, "budget")),
+            on=host_col, how="left",
         )
         cap = F.coalesce(F.col("budget"), F.lit(budget_per_host))
-        drop = ["_prank", "budget"]
+        budget_drop = ["budget"]
     else:
         cap = F.lit(budget_per_host)
-        drop = ["_prank"]
+        budget_drop = []
+    if n_salts > 1 and "url" in pending.columns:
+        tie = [F.col("url").asc()]
+        w_local = Window.partitionBy(host_col, "_psalt").orderBy(*keys, *tie)
+        ranked = pending.withColumn(
+            "_psalt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("int")
+        ).withColumn("_lr", F.row_number().over(w_local))
+        drop = ["_psalt", "_lr", *budget_drop]
+        cand = ranked.filter(F.col("_lr") <= cap)
+        rest = ranked.filter(F.col("_lr") > cap).drop(*drop)
+        w_host = Window.partitionBy(host_col).orderBy(*keys, *tie)
+        cand = cand.withColumn("_gr", F.row_number().over(w_host))
+        return (
+            cand.filter(F.col("_gr") <= cap).drop("_gr", *drop),
+            rest.unionByName(cand.filter(F.col("_gr") > cap).drop("_gr", *drop)),
+        )
+    w = Window.partitionBy(host_col).orderBy(*keys)
+    ranked = pending.withColumn("_prank", F.row_number().over(w))
+    drop = ["_prank", *budget_drop]
     return (
         ranked.filter(F.col("_prank") <= cap).drop(*drop),
         ranked.filter(F.col("_prank") > cap).drop(*drop),

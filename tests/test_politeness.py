@@ -86,3 +86,40 @@ def test_host_budget_overrides_with_many_hosts(spark):
     for h, n in per_host.items():
         assert sched_per_host.get(h, 0) == min(n, caps.get(h, 2)), h
     assert sched.count() + over.count() == pending.count()
+
+
+def test_salted_split_equals_plain(spark):
+    """The salted two-phase rank must produce byte-identical halves to the
+    plain one-window path (the order key is unique per host here, as in the
+    engine): distributed top-k pruning is lossless."""
+    pending = _zipf_frontier(spark, 30_000, 50).localCheckpoint(eager=True)
+    for budget, overrides in (
+        (7, None),
+        (3, [("h1", 20), ("h3", 0)]),
+    ):
+        hb = (
+            spark.createDataFrame(overrides, ["host", "budget"])
+            if overrides else None
+        )
+        s_plain, o_plain = politeness_split(pending, budget, host_budgets=hb)
+        s_salt, o_salt = politeness_split(
+            pending, budget, host_budgets=hb, n_salts=16
+        )
+        assert s_plain.exceptAll(s_salt).count() == 0
+        assert s_salt.exceptAll(s_plain).count() == 0
+        assert o_plain.exceptAll(o_salt).count() == 0
+        assert o_salt.exceptAll(o_plain).count() == 0
+        assert s_salt.columns == s_plain.columns
+
+
+def test_salted_split_single_host_parallelizes(spark):
+    """On a single-host frontier the salted path's big sort runs in parallel
+    (host, salt) partitions — the plan must show the local window keyed by
+    both columns, and results must still be the exact budget prefix."""
+    pending = _zipf_frontier(spark, 40_000, 1).localCheckpoint(eager=True)
+    sched, over = politeness_split(pending, 9, n_salts=8)
+    assert sched.count() == 9
+    assert over.count() == 40_000 - 9
+    got = sorted((r.page, r.item_seq) for r in sched.collect())
+    exp = sorted((r.page, r.item_seq) for r in pending.collect())[:9]
+    assert got == exp
