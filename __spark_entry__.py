@@ -204,6 +204,33 @@ def q_s10_task_queue(spark, sf):
     )
 
 
+def q_p1_politeness_budget(spark, sf):
+    """P1/P3 per-host politeness budget as a first-class oracle query
+    (reference core/crawler.py politeness pacing, previously pass(tests)
+    only): keep the first ``budget`` frontier rows per host in canonical
+    order.  Runs the SALTED two-phase rank (operators/frontier.py
+    politeness_split, n_salts=8) — the single-dominant-host scale path —
+    whose result is provably identical to the one-window form DuckDB
+    replays with row_number() ... QUALIFY."""
+    from eastmoneygubacrawler_spark.operators.frontier import politeness_split
+
+    e = _t(spark, sf, "events")
+    pending = e.select(
+        F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(50)).cast("string"))
+        .alias("host"),
+        F.concat(
+            F.lit("h"),
+            F.pmod(F.col("user_id"), F.lit(50)).cast("string"),
+            F.lit("/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.pmod(F.col("event_id"), F.lit(97)).cast("int").alias("page"),
+        F.col("event_id").cast("long").alias("item_seq"),
+    )
+    scheduled, _over = politeness_split(pending, 5, n_salts=8)
+    return scheduled.select("host", "url", "page", "item_seq")
+
+
 def q_p9_ua_rotation(spark, sf):
     """P9 UA rotation as data (reference core/user_agent_manager.py:16-121):
     blacklist-filtered availability, sequential round-robin by global fetch
@@ -886,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_ip_scrape": q_x16_ip_scrape,
         "s8_proxy_sources": q_s8_proxy_sources,
         "s10_task_queue": q_s10_task_queue,
+        "p1_politeness_budget": q_p1_politeness_budget,
         "p9_ua_rotation": q_p9_ua_rotation,
         "j1_seen_antijoin": q_j1_seen_antijoin,
         "j4_horizon": q_j4_horizon,
@@ -1232,6 +1260,25 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS claim_rank
             FROM queue q JOIN configs c ON c.id = q.task_config_id
             WHERE q.status = 'pending' AND c.is_active = 1
+        """,
+        "p1_politeness_budget": """
+            WITH pending AS (
+                SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+                       'h' || CAST(user_id % 50 AS VARCHAR) || '/'
+                           || CAST(event_id AS VARCHAR) AS url,
+                       CAST(event_id % 97 AS INT) AS page,
+                       CAST(event_id AS BIGINT) AS item_seq
+                FROM events
+            )
+            SELECT host, url, page, item_seq
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY page ASC, item_seq ASC, url ASC
+                ) AS rn
+                FROM pending
+            )
+            WHERE rn <= 5
         """,
         "p9_ua_rotation": """
             WITH rows_ AS (
