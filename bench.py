@@ -1455,6 +1455,37 @@ def main_politeness_hosts() -> None:
         rows.append(row)
         print(json.dumps(row))
         pending.unpersist()
+    # depth trend on the degenerate case: the plain path's single-task sort
+    # grows linearly with rows-per-host while the salted form parallelizes —
+    # at 2M rows the gap is small (WindowGroupLimit keeps the scheduled side
+    # cheap; the complement pays one 2M-row single-task sort ≈ 2 s), at 10M
+    # it is the difference between a task and a stage
+    for n_deep in (10_000_000,):
+        pending = (
+            spark.range(n_deep)
+            .withColumn("host", F.lit("h1"))
+            .withColumn("url", F.concat(F.lit("h1/u"), F.col("id")))
+            .withColumn("host_rank", F.lit(0))
+            .withColumn("page", (F.col("id") % 97).cast("int"))
+            .withColumn("item_seq", F.col("id").cast("long"))
+            .drop("id")
+            .localCheckpoint(eager=True)
+        )
+        row = {"n_hosts": 1, "n_rows": n_deep, "budget": 100}
+        for label, salts in (("plain", 0), ("salted", 16)):
+            walls = []
+            for _ in range(3):
+                t = time.time()
+                sched, over = politeness_split(pending, 100, n_salts=salts)
+                n_sched, n_over = sched.count(), over.count()
+                walls.append(round(time.time() - t, 3))
+            walls.sort()
+            assert n_sched + n_over == n_deep
+            row[f"wall_{label}_s"] = walls[1]
+            row[f"wall_{label}_spread"] = [walls[0], walls[-1]]
+        rows.append(row)
+        print(json.dumps(row))
+
     multi = [r for r in rows if r["n_hosts"] > 1]
     one = next(r for r in rows if r["n_hosts"] == 1)
     out = {
@@ -1469,6 +1500,9 @@ def main_politeness_hosts() -> None:
         ),
         "single_host_salted_speedup": round(
             one["wall_plain_s"] / one["wall_salted_s"], 3
+        ),
+        "single_host_deep_salted_speedup": round(
+            rows[-1]["wall_plain_s"] / rows[-1]["wall_salted_s"], 3
         ),
     }
     os.makedirs("BENCH", exist_ok=True)
@@ -1523,7 +1557,7 @@ def main_ann_curve() -> None:
             "_pairs": pairs,
         }
 
-    brute = run("brute", lambda: topk_brute(emb, queries, k=k, dim=64))
+    brute = run("brute", lambda: topk_brute(emb, queries, k=k))
     truth = brute.pop("_pairs")
     brute["recall"] = 1.0
     rows = [brute]
