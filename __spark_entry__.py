@@ -662,7 +662,7 @@ def q_ann_topk_ivf(spark, sf):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return topk_ivf(emb, queries, k=5, n_clusters=8, n_probe=3, dim=64)
+    return topk_ivf(emb, queries, **_ANN_IVF_PARAMS)
 
 
 def q_ann_topk_lsh(spark, sf):
@@ -672,7 +672,7 @@ def q_ann_topk_lsh(spark, sf):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return topk_lsh(emb, queries, k=5, n_planes=6, probes=6, n_tables=4, dim=64)
+    return topk_lsh(emb, queries, **_ANN_LSH_PARAMS)
 
 
 _CRAWL_SIM_ORACLE = "/tmp/egs_sim_oracle_v1/crawl_posts.parquet"
@@ -764,17 +764,30 @@ def q_crawl_fixture_round(spark, sf):
 
 _ANN_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
 
+# Shared by the entry queries AND the generator-truth oracle so they cannot
+# drift.  n_tables=8 is the round-6 default picked from the measured
+# recall-vs-cost frontier (BENCH/ann_curve.json): on the uniform sf0.1
+# corpus 8 tables lift LSH recall 0.6 → 1.0 at the SAME wall as 4 (0.97 s
+# vs 1.00 s — the stacked-planes layout scans the corpus once regardless of
+# table count, and the dedup exchange carries 24-byte candidate rows).
+_ANN_LSH_PARAMS = dict(k=5, n_planes=6, probes=6, n_tables=8, dim=64)
+_ANN_IVF_PARAMS = dict(k=5, n_clusters=8, n_probe=3, dim=64)
+
 
 def _ann_oracle_path(flavor: str) -> str:
-    """Oracle path keyed by a content hash of the replication module — edits
-    to fixtures/annoracle.py (or the pipeline params below) regenerate the
-    parquet instead of gating against a stale file."""
+    """Oracle path keyed by a content hash of the replication module AND the
+    pipeline params — edits to fixtures/annoracle.py or the shared param
+    dicts regenerate the parquet instead of gating against a stale file."""
     import hashlib
 
     from eastmoneygubacrawler_spark.fixtures import annoracle as _ann_mod
 
     with open(_ann_mod.__file__, "rb") as f:
-        tag = hashlib.md5(f.read() + _ANN_ORACLE_SF_DIR.encode()).hexdigest()[:12]
+        tag = hashlib.md5(
+            f.read() + _ANN_ORACLE_SF_DIR.encode()
+            + repr(sorted(_ANN_LSH_PARAMS.items())).encode()
+            + repr(sorted(_ANN_IVF_PARAMS.items())).encode()
+        ).hexdigest()[:12]
     return f"/tmp/egs_ann_oracle_{tag}/{flavor}_topk.parquet"
 
 
@@ -796,12 +809,8 @@ def _ensure_ann_oracle() -> dict:
     ids, emb = A.load_embeddings(f"{_ANN_ORACLE_SF_DIR}/embeddings.parquet")
     qmask = ids < 3
     rows = {
-        "lsh": A.expected_topk_lsh(
-            ids, emb, qmask, k=5, n_planes=6, probes=6, n_tables=4, dim=64
-        ),
-        "ivf": A.expected_topk_ivf(
-            ids, emb, qmask, k=5, n_clusters=8, n_probe=3, dim=64
-        ),
+        "lsh": A.expected_topk_lsh(ids, emb, qmask, **_ANN_LSH_PARAMS),
+        "ivf": A.expected_topk_ivf(ids, emb, qmask, **_ANN_IVF_PARAMS),
     }
     schema = pa.schema([
         ("query_id", pa.int64()), ("vec_id", pa.int64()),

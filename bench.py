@@ -169,7 +169,11 @@ def bench_queries(spark, spreads: dict | None = None) -> dict[str, float]:
 # rows-only queries need a quantitative gate so a bucketing regression can't
 # silently pass CORRECTNESS).  Floors sit under the measured sf0.1 values
 # with margin; a drop below is a hard bench failure, not a quiet number.
-ANN_RECALL_FLOORS = {"ann_topk_lsh": 0.45, "ann_topk_ivf": 0.45}
+# lsh floor raised 0.45 → 0.8 in round 6: the measured recall-vs-cost curve
+# (BENCH/ann_curve.json) picked n_tables=8 as the default, which reads
+# recall 1.0 on the uniform sf0.1 corpus at the same wall as 4 tables; ivf
+# stays probed-fraction-bound on uniform data (frontier documented there)
+ANN_RECALL_FLOORS = {"ann_topk_lsh": 0.8, "ann_topk_ivf": 0.45}
 
 
 def ann_recall_gate(spark, qs) -> dict[str, float]:
