@@ -69,6 +69,7 @@ def run(corpus_dir: str, cores: int = 16) -> str:
 def parse(evt_path: str, top: int = 18) -> None:
     stages = {}
     subs = {}
+    t_app = None
     with open(evt_path) as f:
         for line in f:
             try:
@@ -76,7 +77,9 @@ def parse(evt_path: str, top: int = 18) -> None:
             except ValueError:
                 continue
             ev = e.get("Event")
-            if ev == "SparkListenerStageSubmitted":
+            if ev == "SparkListenerApplicationStart":
+                t_app = e.get("Timestamp")
+            elif ev == "SparkListenerStageSubmitted":
                 si = e["Stage Info"]
                 subs[si["Stage ID"]] = si.get("Submission Time", 0)
             elif ev == "SparkListenerStageCompleted":
@@ -84,12 +87,15 @@ def parse(evt_path: str, top: int = 18) -> None:
                 sid = si["Stage ID"]
                 t_sub = si.get("Submission Time") or subs.get(sid, 0)
                 t_done = si.get("Completion Time", 0)
-                stages[sid] = {
+                # StageCompleted arrives AFTER the TaskEnd events — update in
+                # place or the per-task metric aggregates are overwritten
+                stages.setdefault(sid, {}).update({
                     "wall_s": round((t_done - t_sub) / 1000, 2),
+                    "t_sub_s": round((t_sub - (t_app or t_sub)) / 1000, 1),
                     "name": si.get("Stage Name", "")[:90],
                     "tasks": si.get("Number of Tasks"),
                     "details": (si.get("Details") or "").split("\n")[0][:120],
-                }
+                })
             elif ev == "SparkListenerTaskEnd":
                 sid = e["Stage ID"]
                 tm = e.get("Task Metrics") or {}
@@ -125,11 +131,12 @@ def parse(evt_path: str, top: int = 18) -> None:
     by_wall = sorted(
         ((s.get("wall_s", 0), sid, s) for sid, s in stages.items()), reverse=True
     )
-    print(f"{'sid':>5} {'wall':>7} {'run':>8} {'cpu':>8} {'gc':>6} "
+    print(f"{'sid':>5} {'t_sub':>7} {'wall':>7} {'run':>8} {'cpu':>8} {'gc':>6} "
           f"{'shufR MB':>9} {'shufW MB':>9} {'spillM':>8} {'spillD':>8}  name")
     for wall, sid, s in by_wall[:top]:
         print(
-            f"{sid:>5} {wall:>7} {s.get('run_s', 0):>8} {s.get('cpu_s', 0):>8} "
+            f"{sid:>5} {s.get('t_sub_s', 0):>7} "
+            f"{wall:>7} {s.get('run_s', 0):>8} {s.get('cpu_s', 0):>8} "
             f"{s.get('gc_s', 0):>6} {s.get('shuf_read_mb', 0):>9} "
             f"{s.get('shuf_write_mb', 0):>9} {s.get('mem_spill_mb', 0):>8} "
             f"{s.get('disk_spill_mb', 0):>8}  {s.get('name', '')}"

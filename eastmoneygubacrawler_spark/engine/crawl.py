@@ -64,6 +64,18 @@ class CrawlConfig:
     # shuffles) vs sort-merge (for unbounded batches, where the driver-side
     # broadcast build would serialize)
     broadcast_fetch: bool = True
+    # bounded batches (probes, list waves, comment waves) ALWAYS broadcast,
+    # regardless of broadcast_fetch — broadcast_fetch then only selects the
+    # strategy for the one unbounded batch per round (the depth-1 text fetch).
+    # Why (round-6 list-phase profile, BENCH/profile_list_phase.py): Spark
+    # never reuses an exchange across queries, so on the shuffle-join path
+    # EVERY wave re-shuffles and re-sorts the full pages html (2.5 GB written
+    # 3x per round at the 2x scaling corpus); at 4x the sort leaves memory
+    # and the list phase goes superlinear (9.8 -> 33.4 -> 71.9 s at 16
+    # cores).  A bounded batch broadcast costs one columnar scan per wave
+    # and keeps html out of every exchange — the 100 TB-path economics.
+    # False restores the round-5 behavior (everything follows broadcast_fetch).
+    bounded_fetch_broadcast: bool = True
     # depth-1 text strategy: "join" = fetch join then extract (html crosses
     # the exchange on the SMJ path); "scan_extract" = bloom-pruned scan with
     # the extraction fused INTO the scan stage — html never shuffles, only
@@ -218,6 +230,9 @@ def run_crawl(
         from .fetch import FixtureFetcher
 
         fetcher = FixtureFetcher(pages, broadcast_scheduled=cfg.broadcast_fetch)
+    # per-call override for politeness-bounded batches (None ⇒ follow the
+    # fetcher's instance default); see CrawlConfig.bounded_fetch_broadcast
+    bounded_bc = True if cfg.bounded_fetch_broadcast else None
 
     # per-host politeness budgets derived from the config table (P1/P2/P5)
     list_budgets = text_budgets = None
@@ -248,7 +263,7 @@ def run_crawl(
         )
     )
     probe_res = (
-        fetcher.fetch(probes)
+        fetcher.fetch(probes, broadcast=bounded_bc)
         .withColumn("p", parse_list_page_udf(F.col("html"), F.lit(None).cast("long")))
         .select(
             "stock_code", "content_type", "host_rank", "type_rank", "url",
@@ -359,7 +374,8 @@ def run_crawl(
 
         fetched = (
             fetcher.fetch(
-                batch.repartition(cfg.fetch_partitions, F.col("host"), F.col("salt"))
+                batch.repartition(cfg.fetch_partitions, F.col("host"), F.col("salt")),
+                broadcast=bounded_bc,
             )
             .withColumn("partition_id", F.spark_partition_id())
             .withColumn("p", parse_list_page_udf(F.col("html"), F.col("expected_count")))
@@ -841,7 +857,8 @@ def run_crawl(
                 fetcher.fetch(
                     c_sched.repartition(
                         cfg.fetch_partitions, F.col("host"), F.col("salt")
-                    )
+                    ),
+                    broadcast=bounded_bc,
                 )
                 .withColumn("partition_id", F.spark_partition_id())
                 .withColumn("p", parse_reply_page_udf(F.col("html")))

@@ -303,8 +303,13 @@ class HttpFetcher:
         self.ua_blacklist = ua_blacklist
         self.ua_now_ts = ua_now_ts
 
-    def fetch(self, scheduled: DataFrame) -> DataFrame:
-        """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed)."""
+    def fetch(
+        self, scheduled: DataFrame, broadcast: bool | None = None
+    ) -> DataFrame:
+        """Returns ``scheduled`` with an ``html`` column (null ⇒ fetch failed).
+
+        ``broadcast`` is accepted for interface parity with FixtureFetcher and
+        ignored — an HTTP fetch has no pages side to join."""
         from pyspark.sql.types import BinaryType, StructField, StructType
 
         from ..functions import urls as U
