@@ -303,6 +303,43 @@ def test_full_crawl_round_over_http_equals_fixture(spark, tmp_path):
         lb.close()
 
 
+def test_bounded_broadcast_round_equals_legacy_smj_round(spark, tmp_path):
+    """Round-6 list-phase fix: with broadcast_fetch=False (the scaling-bench
+    SMJ regime) the bounded batches (probes, list waves, comment waves) now
+    broadcast per-call — the committed stores must be identical to the
+    all-SMJ legacy path (bounded_fetch_broadcast=False)."""
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    corpus = build_corpus(FixtureConfig(n_stocks=1, max_count=60, adversarial=False))
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+
+    def run(name, bounded):
+        store = SnapshotStore(str(tmp_path / name))
+        m = run_crawl(
+            spark, store, pages, seeds, robots, None,
+            CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False,
+                        max_depth=2, broadcast_fetch=False,
+                        bounded_fetch_broadcast=bounded),
+        )
+        posts = sorted(map(tuple, store.load(spark, "posts").select(
+            "stock_code", "content_type", "url_id", "url", "title",
+            "crawl_seq", "full_text").collect()))
+        comments = sorted(map(tuple, store.load(spark, "comments").select(
+            "reply_id", "reply_user", "reply_text", "reply_time").collect()))
+        return m["posts_new"], posts, comments
+
+    n_bc, posts_bc, comments_bc = run("bc", True)
+    n_sj, posts_sj, comments_sj = run("sj", False)
+    assert n_bc == n_sj and n_bc > 0
+    assert posts_bc == posts_sj
+    assert comments_bc == comments_sj and len(comments_bc) > 0
+
+
 def test_scan_extract_mode_equals_join_mode(spark, tmp_path):
     """The fused scan-extract text path (html never shuffles) must commit the
     exact same store state as the default fetch-join path."""
