@@ -422,6 +422,11 @@ def scaling_worker(cores: int, corpus_dir: str) -> None:
         n_shards=64, fetch_partitions=cores * 2, use_bloom=False, max_depth=depth,
         broadcast_fetch=os.environ.get("EGS_FETCH_BROADCAST", "0") == "1",
         text_fetch_mode=os.environ.get("EGS_TEXT_FETCH", "join"),
+        # EGS_BOUNDED_BC=0 restores the round-5 all-SMJ wave-fetch path so
+        # the two list-fetch strategies can be A/B'd back-to-back in one VM
+        # window (this box drifts 20%+ between sessions; cross-session
+        # artifact comparison cannot adjudicate a strategy change)
+        bounded_fetch_broadcast=os.environ.get("EGS_BOUNDED_BC", "1") == "1",
     )
     # iterations over fresh stores: iteration 1 warms the page cache /
     # codegen; best of the rest is the steady-state measurement (single-box
@@ -1048,6 +1053,7 @@ def main_scaling(
         "items_per_type": items_per_type,
         "corpus_scale": corpus_scale,
         "depth2": depth2,
+        "bounded_fetch_broadcast": os.environ.get("EGS_BOUNDED_BC", "1") == "1",
         "passes": pass_rows,
         # matched within-pass ratios alongside the best-per-level composite:
         # a pass is a lo/hi pair measured close in time, so these control
