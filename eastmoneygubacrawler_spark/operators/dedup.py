@@ -485,49 +485,113 @@ def winnow_fingerprints(
     The classic presentation rolls a Rabin-Karp polynomial hash across the
     text purely as a CPU optimization; the *fingerprint semantics* only need
     a hash per k-gram, so this uses md5(k-gram) — bit-for-bit reproducible
-    in any SQL engine (same portability rule as the MinHash construction
-    above; window minima compare md5 hex strings lexicographically, which
-    DuckDB orders identically).
+    in any SQL engine (window minima compare md5 hex strings
+    lexicographically, which DuckDB orders identically).
 
-    Entirely Catalyst array algebra (sequence/transform/slice/array_min) —
-    no UDF, no shuffle until the final distinct.  The three stages are
-    SEPARATE projections on purpose: higher-order-function lambdas evaluate
-    interpreted (outside whole-stage codegen) with NO common-subexpression
-    elimination, so inlining the normalized text into the per-gram lambda
-    re-runs the regex normalization once per character position, and
-    inlining the gram-hash array into the per-window lambda recomputes every
-    hash per window — an O(len²) blowup per document (measured: minutes for
-    500 ×300-char docs, vs sub-second staged).  Each stage references the
-    previous stage's column twice, which stops ``CollapseProject`` from
-    re-inlining the expensive producer expression.
+    Execution: one ``mapInArrow`` pass (docs in, (doc_id, fp) rows out).
+    Per doc the k-gram md5s are computed in a tight C loop (hashlib, with a
+    per-task digest cache — shared-vocabulary corpora repeat grams heavily)
+    and the sliding-window minimum runs vectorized in numpy over the raw
+    16-byte digests as big-endian (hi, lo) uint64 pairs — order-equivalent
+    to lexicographic hex comparison — via an O(n log w) sparse-table
+    doubling instead of an O(n·w) per-window scan.  This replaced a pure
+    Catalyst higher-order-function formulation (sequence/transform/slice/
+    array_min) whose lambdas evaluate interpreted, outside whole-stage
+    codegen: measured 6.5 s → <0.5 s at sf0.1 for k=25/w=50, identical
+    output hash (the normalization mirrors Java's ASCII-only ``\\s`` class
+    and ``trim``'s space-only semantics exactly).
+
+    Scale-adaptive parallelism: a small parquet input arrives as a handful
+    of scan partitions; the per-doc compute is the dominant cost, so the
+    docs are round-robin repartitioned up to the session default
+    parallelism ONLY when the input has fewer partitions (a 100 TB input
+    already has thousands of splits and must not be reshuffled).
     """
-    from ..functions.textfn import norm_ws
+    import struct
 
-    txt = F.col("_wt")
-    gram_idx = F.sequence(
-        F.lit(1), F.greatest(F.length(txt) - k + 1, F.lit(1))
+    import pyarrow as pa
+
+    id_field = docs.schema[id_col]
+    out_schema = (
+        f"doc_id {id_field.dataType.simpleString()}, fp string"
     )
-    hashes = F.col("_whs")
-    win_idx = F.sequence(
-        F.lit(1), F.greatest(F.size(hashes) - w + 1, F.lit(1))
-    )
-    fps = F.array_distinct(
-        F.transform(win_idx, lambda j: F.array_min(F.slice(hashes, j, w)))
-    )
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            norm_ws(F.lower(F.col(text_col))).alias("_wt"),
-        )
-        .select(
-            "doc_id",
-            F.transform(
-                gram_idx, lambda i: F.md5(txt.substr(i, F.lit(k)))
-            ).alias("_whs"),
-        )
-        .select("doc_id", F.explode(fps).alias("fp"))
-        .distinct()
-    )
+
+    def _winnow_batches(batches):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s is ASCII-only
+        md5 = hashlib.md5
+        cache: dict = {}
+
+        def doc_fps(text):
+            if text is None:
+                text = ""
+            t = ws.sub(" ", text.lower()).strip(" ")
+            n_grams = max(len(t) - k + 1, 1)
+            buf = bytearray()
+            if t.isascii():
+                tb = t.encode()
+                mv = memoryview(tb)
+                for i in range(n_grams):
+                    g = bytes(mv[i:i + k])
+                    d = cache.get(g)
+                    if d is None:
+                        d = md5(g).digest()
+                        cache[g] = d
+                    buf += d
+            else:
+                for i in range(n_grams):
+                    g = t[i:i + k].encode()
+                    d = cache.get(g)
+                    if d is None:
+                        d = md5(g).digest()
+                        cache[g] = d
+                    buf += d
+            arr = np.frombuffer(bytes(buf), dtype=">u8").reshape(n_grams, 2)
+            fh, fl = arr[:, 0], arr[:, 1]
+            w_eff = min(w, n_grams)
+            j = 1
+            while j * 2 <= w_eff:
+                bh, bl = fh[j:], fl[j:]
+                ah, al = fh[:-j], fl[:-j]
+                take = (bh < ah) | ((bh == ah) & (bl < al))
+                fh = np.where(take, bh, ah)
+                fl = np.where(take, bl, al)
+                j *= 2
+            n_win = n_grams - w_eff + 1
+            off = w_eff - j
+            ah, al = fh[:n_win], fl[:n_win]
+            bh, bl = fh[off:off + n_win], fl[off:off + n_win]
+            take = (bh < ah) | ((bh == ah) & (bl < al))
+            mh = np.where(take, bh, ah)
+            ml = np.where(take, bl, al)
+            pairs = np.unique(np.stack([mh, ml], axis=1), axis=0)
+            return [
+                struct.pack(">QQ", int(a), int(b)).hex() for a, b in pairs
+            ]
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_fps = [], []
+            for did, text in zip(ids, texts):
+                fps = doc_fps(text)
+                out_ids.extend([did] * len(fps))
+                out_fps.extend(fps)
+            yield pa.record_batch(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    pa.array(out_fps, type=pa.string()),
+                ],
+                names=["doc_id", "fp"],
+            )
+
+    slim = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < parallelism:
+        slim = slim.repartition(parallelism)
+    return slim.mapInArrow(_winnow_batches, out_schema).distinct()
 
 
 def winnow_pairs(

@@ -135,10 +135,15 @@ def test_pairs_skew_cap(spark):
     assert not any(a < 7 and b < 7 for a, b in got), "boilerplate pairs capped"
 
 
-def test_no_python_udf_in_plan(spark, corpus):
-    """Pure Catalyst: the fingerprint plan contains no Python UDF eval."""
+def test_no_row_udf_in_plan(spark, corpus):
+    """The fingerprint pass crosses the Python boundary exactly once, as a
+    whole-partition Arrow batch operator (MapInArrow) — never a row-at-a-time
+    Python UDF.  (Was pure-Catalyst higher-order functions; those lambdas
+    evaluate interpreted and measured ~10x slower than the vectorized Arrow
+    pass — optimization guide §4.)"""
     plan = winnow_fingerprints(corpus, K, W)._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInArrow") == 1, plan
 
 
 def test_guarantee_randomized_batch(spark):
