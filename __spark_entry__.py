@@ -771,6 +771,13 @@ _ANN_ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness SF
 # vs 1.00 s — the stacked-planes layout scans the corpus once regardless of
 # table count, and the dedup exchange carries 24-byte candidate rows).
 _ANN_LSH_PARAMS = dict(k=5, n_planes=6, probes=6, n_tables=8, dim=64)
+# IVF uniform-regime pricing (r6 verdict item 7, BENCH/ann_curve.json): on
+# the structureless uniform corpus recall is bounded by the probed fraction
+# (np4 = 0.733, np6 = 1.0 only by probing 6/8 of the corpus), so no np
+# clears 0.8 at sub-scan cost there — LSH n_tables=8 (recall 1.0 at one
+# corpus pass) is the recommended uniform-regime operator and IVF is the
+# clustered-regime one (clustered recall 1.0 at np4/30 clusters).  The
+# params stay at the oracle-fingerprinted 8/3 configuration.
 _ANN_IVF_PARAMS = dict(k=5, n_clusters=8, n_probe=3, dim=64)
 
 

@@ -102,7 +102,7 @@ def lsh_multisig_udf(all_planes: np.ndarray):
 
 def topk_lsh(
     corpus: DataFrame, queries: DataFrame, k: int = 10,
-    n_planes: int = 6, probes: int = 6, n_tables: int = 4,
+    n_planes: int = 6, probes: int = 6, n_tables: int = 8,
     dim: int = 64, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "query_id",
