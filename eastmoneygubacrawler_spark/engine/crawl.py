@@ -25,6 +25,7 @@ is proven against the fixtures' pure-Python simulator in tests.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -76,6 +77,18 @@ class CrawlConfig:
     # and keeps html out of every exchange — the 100 TB-path economics.
     # False restores the round-5 behavior (everything follows broadcast_fetch).
     bounded_fetch_broadcast: bool = True
+    # SIZE-AWARE broadcast cap (r6 verdict item 1, adjudicated by the r7
+    # 4x-corpus ABAB — BENCH/fetch_abab_r7.json): a politeness wave whose
+    # batch exceeds this many rows falls back to the shuffle join even when
+    # bounded_fetch_broadcast is on.  The broadcast build (driver collect +
+    # hash relation + ship) is SERIAL, so past ~0.5M rows it dominates and
+    # INVERTS with core count (r6b at the 4x corpus: the one 1.7M-row wave
+    # read 66 s at 4c but 103 s at 16c broadcast, vs 48 s SMJ) while small
+    # waves broadcast strictly faster (r6c 1x ABAB, 0.43M rows).  Neither
+    # constant strategy can be right at 100x; the row count of every wave
+    # batch is already known (the politeness count) so the choice is free.
+    # Env override EGS_BOUNDED_BC_MAX_ROWS lets A/B studies force either arm.
+    bounded_bc_max_rows: int = 500_000
     # depth-1 text strategy: "join" = fetch join then extract (html crosses
     # the exchange on the SMJ path); "scan_extract" = bloom-pruned scan with
     # the extraction fused INTO the scan stage — html never shuffles, only
@@ -253,6 +266,18 @@ def run_crawl(
     # per-call override for politeness-bounded batches (None ⇒ follow the
     # fetcher's instance default); see CrawlConfig.bounded_fetch_broadcast
     bounded_bc = True if cfg.bounded_fetch_broadcast else None
+    bc_max_rows = int(
+        os.environ.get("EGS_BOUNDED_BC_MAX_ROWS", cfg.bounded_bc_max_rows)
+    )
+
+    def _fetch(batch: DataFrame, bc: bool | None) -> DataFrame:
+        """Fetch with the per-call broadcast override only when one is set —
+        a user-injected fetcher implementing the plain fetch(batch)
+        signature keeps working whenever the engine is not overriding
+        (ADVICE r6: the kwarg is otherwise part of the fetcher protocol)."""
+        if bc is None:
+            return fetcher.fetch(batch)
+        return fetcher.fetch(batch, broadcast=bc)
 
     # per-host politeness budgets derived from the config table (P1/P2/P5)
     list_budgets = text_budgets = None
@@ -283,7 +308,7 @@ def run_crawl(
         )
     )
     probe_res = (
-        fetcher.fetch(probes, broadcast=bounded_bc)
+        _fetch(probes, bounded_bc)
         .withColumn("p", parse_list_page_udf(F.col("html"), F.lit(None).cast("long")))
         .select(
             "stock_code", "content_type", "host_rank", "type_rank", "url",
@@ -392,10 +417,15 @@ def run_crawl(
         # terminating wave's schedule/count costs nothing
         pending = over_budget.localCheckpoint(eager=False)
 
+        # size-aware strategy pick (CrawlConfig.bounded_bc_max_rows): the
+        # wave batch count is already in hand, so an over-cap wave falls
+        # back to the shuffle join instead of a serial driver-side
+        # broadcast build
+        wave_bc = False if (bounded_bc and n_batch > bc_max_rows) else bounded_bc
         fetched = (
-            fetcher.fetch(
+            _fetch(
                 batch.repartition(cfg.fetch_partitions, F.col("host"), F.col("salt")),
-                broadcast=bounded_bc,
+                wave_bc,
             )
             .withColumn("partition_id", F.spark_partition_id())
             .withColumn("p", parse_list_page_udf(F.col("html"), F.col("expected_count")))
@@ -714,10 +744,11 @@ def run_crawl(
             ).transform(_cached)
         else:
             fetched_posts = (
-                fetcher.fetch(
+                _fetch(
                     scheduled.repartition(
                         cfg.fetch_partitions, F.col("host"), F.col("salt")
-                    )
+                    ),
+                    None,
                 )
                 .withColumn("partition_id", F.spark_partition_id())
                 .withColumn("e", extract_text_udf(F.col("url"), F.col("html")))
@@ -845,15 +876,21 @@ def run_crawl(
             n_salts=cfg.n_salts,
         )
         c_sched = c_sched.transform(_cached)
+        # same size-aware pick as the list waves: the count materializes the
+        # cached schedule the fetch consumes anyway, and an over-cap comment
+        # wave (depth-2 at big corpora) must not pay a serial broadcast build
+        c_bc = bounded_bc
+        if bounded_bc and c_sched.count() > bc_max_rows:
+            c_bc = False
 
         from ..functions.extract import parse_reply_page_udf
 
         fetched_c = (
-            fetcher.fetch(
+            _fetch(
                 c_sched.repartition(
                     cfg.fetch_partitions, F.col("host"), F.col("salt")
                 ),
-                broadcast=bounded_bc,
+                c_bc,
             )
             .withColumn("partition_id", F.spark_partition_id())
             .withColumn("p", parse_reply_page_udf(F.col("html")))

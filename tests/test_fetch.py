@@ -340,6 +340,52 @@ def test_bounded_broadcast_round_equals_legacy_smj_round(spark, tmp_path):
     assert comments_bc == comments_sj and len(comments_bc) > 0
 
 
+def test_size_aware_bc_cap_store_identity_and_plain_fetcher(spark, tmp_path, monkeypatch):
+    """r7 size-aware fetch strategy: with EGS_BOUNDED_BC_MAX_ROWS=1 every
+    politeness wave exceeds the cap and falls back to the shuffle join —
+    the committed store must be identical to the always-broadcast run.
+    Also the restored fetcher protocol (ADVICE r6): a user fetcher with the
+    plain fetch(batch) signature (no broadcast kwarg) works whenever the
+    engine is not overriding (bounded_fetch_broadcast=False)."""
+    from eastmoneygubacrawler_spark.engine import CrawlConfig, run_crawl
+    from eastmoneygubacrawler_spark.engine.fetch import FixtureFetcher
+    from eastmoneygubacrawler_spark.fixtures import FixtureConfig, build_corpus
+    from eastmoneygubacrawler_spark.schema import PAGES, ROBOTS, SEEDS
+    from eastmoneygubacrawler_spark.storage import SnapshotStore
+
+    corpus = build_corpus(FixtureConfig(n_stocks=1, max_count=60, adversarial=False))
+    pages = spark.createDataFrame(corpus["pages"], PAGES)
+    seeds = spark.createDataFrame(corpus["seeds"], SEEDS)
+    robots = spark.createDataFrame(corpus["robots"], ROBOTS)
+
+    def run(name, cap, fetcher=None, bounded=True):
+        if cap is not None:
+            monkeypatch.setenv("EGS_BOUNDED_BC_MAX_ROWS", str(cap))
+        else:
+            monkeypatch.delenv("EGS_BOUNDED_BC_MAX_ROWS", raising=False)
+        store = SnapshotStore(str(tmp_path / name))
+        run_crawl(
+            spark, store, pages, seeds, robots, None,
+            CrawlConfig(n_shards=8, fetch_partitions=4, use_bloom=False,
+                        max_depth=2, bounded_fetch_broadcast=bounded),
+            fetcher=fetcher,
+        )
+        return sorted(map(tuple, store.load(spark, "posts").select(
+            "stock_code", "content_type", "url_id", "url", "title",
+            "crawl_seq", "full_text").collect()))
+
+    posts_default = run("bc", None)
+    posts_capped = run("capped", 1)
+    assert posts_default == posts_capped and len(posts_default) > 0
+
+    class PlainFetcher(FixtureFetcher):
+        def fetch(self, scheduled):  # old signature: no broadcast kwarg
+            return super().fetch(scheduled)
+
+    posts_plain = run("plain", None, fetcher=PlainFetcher(pages), bounded=False)
+    assert posts_plain == posts_default
+
+
 def test_scan_extract_mode_equals_join_mode(spark, tmp_path):
     """The fused scan-extract text path (html never shuffles) must commit the
     exact same store state as the default fetch-join path."""
