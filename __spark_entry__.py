@@ -301,10 +301,22 @@ def q_j4_horizon(spark, sf):
     from eastmoneygubacrawler_spark.operators.frontier import duplicate_page_horizon
 
     e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
-    stats = e.select(
+    # cast/rename BEFORE the first window so all three windows (this
+    # row_number and the two inside duplicate_page_horizon) share ONE
+    # hash-partitioning on (stock_code, content_type) — the previous form
+    # partitioned the first window by the raw (user_id, event_type) and the
+    # rename/cast between the windows forced a second Exchange (2 → 1;
+    # the cast is injective so row_number partitions are unchanged)
+    base = e.select(
         F.col("user_id").cast("string").alias("stock_code"),
         F.col("event_type").alias("content_type"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("stock_code", "content_type").orderBy("event_id")
+    stats = base.select(
+        "stock_code",
+        "content_type",
         F.row_number().over(w).alias("page"),
         F.lit(True).alias("ok"),
         F.when(F.col("value") > 0.5, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("new_count"),

@@ -327,18 +327,60 @@ def simhash32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     Portable construction: md5(token) hex digit j ≥ '8' contributes +1 to bit
     j else −1 (exactly reproducible in DuckDB for the oracle).
+
+    Execution: per-ROW bit sums in one ``mapInArrow`` pass (token digests
+    cached per task as ±1 int8 vectors and accumulated in numpy — a
+    shared-vocabulary corpus pays one md5 per distinct token per task), then
+    a groupBy-SUM merge so duplicate-id rows combine exactly as the previous
+    token-explode + 32-conditional-sum formulation did (sums are
+    associative), then the same sign fold.  The token rows never explode and
+    never shuffle — the only exchange carries 32 longs per doc.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.substring(F.col("h"), j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-            ).alias(f"s_{j}")
-            for j in range(32)
-        ]
+    import pyarrow as pa
+
+    id_field = docs.schema[id_col]
+    out_schema = f"doc_id {id_field.dataType.simpleString()}, " + ", ".join(
+        f"s_{j} long" for j in range(32)
+    )
+
+    def _sums_batches(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        cache: dict = {}
+        hexmap = {c: i >= 8 for i, c in enumerate("0123456789abcdef")}
+
+        def tok_vec(tok):
+            v = cache.get(tok)
+            if v is None:
+                h = md5(tok.encode()).hexdigest()
+                v = np.fromiter(
+                    (1 if hexmap[c] else -1 for c in h), dtype=np.int64, count=32
+                )
+                cache[tok] = v
+            return v
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids = []
+            sums = np.zeros((len(ids), 32), dtype=np.int64)
+            for r, (did, text) in enumerate(zip(ids, texts)):
+                acc = sums[r]
+                for tok in _norm_py(text).split(" "):
+                    acc += tok_vec(tok)
+                out_ids.append(did)
+            yield pa.record_batch(
+                [pa.array(out_ids, type=batch.schema.field(0).type)]
+                + [pa.array(sums[:, j]) for j in range(32)],
+                names=["doc_id"] + [f"s_{j}" for j in range(32)],
+            )
+
+    slim = _spread_for_compute(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    )
+    bit_sums = slim.mapInArrow(_sums_batches, out_schema).groupBy("doc_id").agg(
+        *[F.sum(f"s_{j}").alias(f"s_{j}") for j in range(32)]
     )
     fp = None
     for j in range(32):
