@@ -1019,7 +1019,12 @@ def run_crawl(
     # driver calls them sequentially).  Their phase walls are per-pipeline
     # elapsed times, so 'text_fetch_extract' + 'comment_fetch' can sum to
     # more than the round wall when overlapped.
-    if d1_cand is not None and cfg.max_depth >= 2:
+    overlap = (
+        d1_cand is not None
+        and cfg.max_depth >= 2
+        and os.environ.get("EGS_D1D2_OVERLAP", "1") == "1"
+    )
+    if overlap:
         from concurrent.futures import ThreadPoolExecutor as _TPE
 
         from pyspark import inheritable_thread_target
