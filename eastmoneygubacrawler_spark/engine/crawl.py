@@ -118,6 +118,15 @@ class CrawlConfig:
     # payload rows; measured 7.3 → 6.2 s on a 1.44M-row delta); below it the
     # hint is withheld so Catalyst broadcasts the tiny text side
     shj_text_merge_threshold: int = 100_000
+    # ... and ABOVE this estimated per-partition build size the hint is
+    # withheld again: a shuffled-hash build that does not fit execution
+    # memory is a hard SparkOutOfMemoryError, not a spill (guide §3.1) —
+    # measured at the r7 8x corpus (11.5M texts / 32 shuffle partitions ≈
+    # 700 MB per build) where the round died in the commit; SMJ spills
+    # gracefully there.  Estimate = n_texts / shuffle_partitions ×
+    # mean_text_bytes (the measured mean html size — conservative, html ≥
+    # extracted text).
+    shj_build_budget_bytes: int = 256 * 1024 * 1024
 
 
 def _seed_ranks(
@@ -1119,8 +1128,22 @@ def run_crawl(
             # a LEFT join builds right = the text side, per-partition
             # footprint bounded by shuffle partitioning).  Small rounds skip
             # the hint so Catalyst still broadcasts the tiny text side — a
-            # strategy hint would override that choice.
-            if n_text_fetched > cfg.shj_text_merge_threshold:
+            # strategy hint would override that choice.  VERY large rounds
+            # skip it too (shj_build_budget_bytes): a hash build that does
+            # not fit execution memory is a hard OOM, not a spill — the r7
+            # 8x-corpus run died here at ~700 MB per-partition builds; SMJ
+            # sorts-and-spills safely in that regime (guide §3.1).
+            _shuf_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            _build_est = (
+                n_text_fetched / max(_shuf_parts, 1)
+                * float(mean_text_bytes or 2048)
+            )
+            if (
+                n_text_fetched > cfg.shj_text_merge_threshold
+                and _build_est <= cfg.shj_build_budget_bytes
+            ):
                 upd = upd.hint("shuffle_hash")
             posts_out = (
                 posts_out.join(upd, on="url", how="left")
