@@ -210,6 +210,18 @@ def run_crawl(
     tests/test_fetch.py proves posts-output equality over a loopback server).
     """
     cfg = cfg or CrawlConfig()
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") != "true":
+        # ADVICE r6: the suspect-free posts-key fast path (and the empty
+        # terminating-wave schedule) rely on AQE empty-relation propagation;
+        # without AQE every wave pays a posts-key corpus scan.  Results are
+        # unchanged — this is a performance contract, surfaced loudly.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "spark.sql.adaptive.enabled is false: run_crawl's suspect-free "
+            "fast paths depend on AQE empty-relation propagation; expect "
+            "per-wave corpus-key scans (results unchanged, wall inflated)"
+        )
     t0 = time.time()
     phase_t: dict = {}
     # every cache created for this round is registered and released after

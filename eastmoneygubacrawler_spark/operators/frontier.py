@@ -92,38 +92,57 @@ def politeness_split(
         # with one dominant host it would funnel every row through one task
         return pending, pending.filter(F.lit(False))
     keys = order_key_cols(pending)
+
+    def _rank(df: DataFrame, cap, budget_drop: list):
+        # the url tiebreaker applies to BOTH the salted and the plain path
+        # (ADVICE r6): with duplicate order keys the plain window was
+        # nondeterministic across runs and disagreed with the salted form
+        tie = [F.col("url").asc()] if "url" in df.columns else []
+        if n_salts > 1 and "url" in df.columns:
+            w_local = Window.partitionBy(host_col, "_psalt").orderBy(*keys, *tie)
+            ranked = df.withColumn(
+                "_psalt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("int")
+            ).withColumn("_lr", F.row_number().over(w_local))
+            drop = ["_psalt", "_lr", *budget_drop]
+            cand = ranked.filter(F.col("_lr") <= cap)
+            rest = ranked.filter(F.col("_lr") > cap).drop(*drop)
+            w_host = Window.partitionBy(host_col).orderBy(*keys, *tie)
+            cand = cand.withColumn("_gr", F.row_number().over(w_host))
+            return (
+                cand.filter(F.col("_gr") <= cap).drop("_gr", *drop),
+                rest.unionByName(cand.filter(F.col("_gr") > cap).drop("_gr", *drop)),
+            )
+        w = Window.partitionBy(host_col).orderBy(*keys, *tie)
+        ranked = df.withColumn("_prank", F.row_number().over(w))
+        drop = ["_prank", *budget_drop]
+        return (
+            ranked.filter(F.col("_prank") <= cap).drop(*drop),
+            ranked.filter(F.col("_prank") > cap).drop(*drop),
+        )
+
     if host_budgets is not None:
-        pending = pending.join(
+        joined = pending.join(
             F.broadcast(host_budgets.select(host_col, "budget")),
             on=host_col, how="left",
         )
-        cap = F.coalesce(F.col("budget"), F.lit(budget_per_host))
-        budget_drop = ["budget"]
-    else:
-        cap = F.lit(budget_per_host)
-        budget_drop = []
-    if n_salts > 1 and "url" in pending.columns:
-        tie = [F.col("url").asc()]
-        w_local = Window.partitionBy(host_col, "_psalt").orderBy(*keys, *tie)
-        ranked = pending.withColumn(
-            "_psalt", F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("int")
-        ).withColumn("_lr", F.row_number().over(w_local))
-        drop = ["_psalt", "_lr", *budget_drop]
-        cand = ranked.filter(F.col("_lr") <= cap)
-        rest = ranked.filter(F.col("_lr") > cap).drop(*drop)
-        w_host = Window.partitionBy(host_col).orderBy(*keys, *tie)
-        cand = cand.withColumn("_gr", F.row_number().over(w_host))
-        return (
-            cand.filter(F.col("_gr") <= cap).drop("_gr", *drop),
-            rest.unionByName(cand.filter(F.col("_gr") > cap).drop("_gr", *drop)),
+        if budget_per_host >= 1_000_000_000:
+            # hosts ABSENT from the politeness table keep the unbounded
+            # default: schedule them outright instead of funneling them
+            # through the per-host window (ADVICE r6 — with one dominant
+            # untabled host, phase 1 pruned nothing and phase 2 still ran
+            # the whole frontier through one window task); only rows with a
+            # finite tabled cap pay the rank
+            free = joined.filter(F.col("budget").isNull()).drop("budget")
+            sched, over = _rank(
+                joined.filter(F.col("budget").isNotNull()),
+                F.col("budget"), ["budget"],
+            )
+            return sched.unionByName(free), over
+        return _rank(
+            joined, F.coalesce(F.col("budget"), F.lit(budget_per_host)),
+            ["budget"],
         )
-    w = Window.partitionBy(host_col).orderBy(*keys)
-    ranked = pending.withColumn("_prank", F.row_number().over(w))
-    drop = ["_prank", *budget_drop]
-    return (
-        ranked.filter(F.col("_prank") <= cap).drop(*drop),
-        ranked.filter(F.col("_prank") > cap).drop(*drop),
-    )
+    return _rank(pending, F.lit(budget_per_host), [])
 
 
 def salted_repartition(df: DataFrame, n_partitions: int, n_salts: int) -> DataFrame:

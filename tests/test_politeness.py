@@ -123,3 +123,36 @@ def test_salted_split_single_host_parallelizes(spark):
     got = sorted((r.page, r.item_seq) for r in sched.collect())
     exp = sorted((r.page, r.item_seq) for r in pending.collect())[:9]
     assert got == exp
+
+
+def test_unbounded_default_with_partial_budget_table(spark):
+    """r7 fast path (ADVICE r6): with a politeness table present and the
+    default budget unbounded, hosts ABSENT from the table are scheduled
+    outright (no window funnel) while tabled hosts still rank against
+    their finite caps — the split must equal the semantic definition:
+    first `budget` rows per tabled host in canonical order, everything
+    else of those hosts over budget, untabled hosts fully scheduled."""
+    pending = _zipf_frontier(spark, 5_000, 20)
+    budgets = spark.createDataFrame(
+        [("h1", 7), ("h2", 3)], "host string, budget long"
+    )
+    sched, over = politeness_split(
+        pending, 1_000_000_000, host_budgets=budgets
+    )
+    got_sched = {r.url for r in sched.collect()}
+    got_over = {r.url for r in over.collect()}
+    rows = sorted(
+        pending.collect(), key=lambda r: (r.host_rank, r.page, r.item_seq, r.url)
+    )
+    caps = {"h1": 7, "h2": 3}
+    seen: dict = {}
+    exp_sched, exp_over = set(), set()
+    for r in rows:
+        cap = caps.get(r.host)
+        if cap is None:
+            exp_sched.add(r.url)
+            continue
+        seen[r.host] = seen.get(r.host, 0) + 1
+        (exp_sched if seen[r.host] <= cap else exp_over).add(r.url)
+    assert got_sched == exp_sched
+    assert got_over == exp_over and len(got_over) > 0
